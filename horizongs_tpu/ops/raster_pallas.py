@@ -1,0 +1,172 @@
+"""Pallas-backed 3DGS rasterization: projection + binning in XLA, the
+per-tile compositing loop in hand-written TPU kernels (fwd + bwd).
+
+The kernel pair (`ops/pallas/raster3d.py`) is wrapped in a
+`jax.custom_vjp` whose boundary is the packed per-gaussian field matrix
+(N, 10): [mx, my, conic_a, conic_b, conic_c, opacity, r, g, b, depth].
+Everything before the boundary (EWA projection, SH eval, the neural
+decode) and after it (background blend, depth modes, losses)
+differentiates with ordinary XLA autodiff.
+
+Gradient routing back from per-instance to per-gaussian avoids XLA's
+serializing scatter: the backward kernel writes one gradient row per
+instance; rows are un-sorted with a precomputed inverse permutation
+(pure gather) and reduced per gaussian with a cumsum over the
+contiguous pre-sort slot ranges — all O(CAP) vector primitives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.dtypes import float0
+
+from horizongs_tpu.ops.binning import (
+    TileInstances,
+    align_tile_segments,
+    build_tile_instances,
+)
+from horizongs_tpu.ops.pallas.raster3d import (
+    G,
+    INST_DIM,
+    P,
+    TILE_H,
+    TILE_W,
+    rasterize_bwd,
+    rasterize_fwd,
+)
+from horizongs_tpu.ops.projection import project_3dgs
+from horizongs_tpu.ops.raster import _make_grid, _tiles_to_image
+from horizongs_tpu.ops.reference import _sh_colors
+
+N_FIELDS = 10
+
+
+def _assemble_inst(fields: jnp.ndarray, inst: TileInstances) -> jnp.ndarray:
+    """(N, 10) fields -> (16, CAP+G) transposed SoA instance columns
+    (row 10 = validity flag)."""
+    cap = inst.gauss_id.shape[0]
+    gathered = fields[inst.gauss_id]                      # (CAP, 10)
+    one = inst.valid.astype(jnp.float32)[:, None]
+    gathered = jnp.where(one > 0, gathered, 0.0)
+    packed = jnp.concatenate(
+        [gathered, one, jnp.zeros((cap, INST_DIM - N_FIELDS - 1))], axis=-1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((G, INST_DIM), packed.dtype)], axis=0)
+    return packed.T                                        # (16, CAP+G)
+
+
+def _instance_grads_to_fields(ginst: jnp.ndarray,
+                              inst: TileInstances) -> jnp.ndarray:
+    """(CAP+G, 16) instance grads -> (N, 10) per-gaussian grads.
+
+    Un-sort with the precomputed inverse permutation (gather), then
+    reduce each gaussian's contiguous pre-sort slot range with a cumsum
+    difference. Slot count may exceed the padded row count when
+    instances overflowed the cap — ranges are clipped accordingly."""
+    cap = inst.gauss_id.shape[0]
+    n_slots = inst.inv_perm.shape[0]
+    gu = ginst[:N_FIELDS, :cap].T[inst.inv_perm]           # pre-sort slot order
+    csum = jnp.cumsum(gu, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, N_FIELDS)), csum], axis=0)
+    ends = jnp.clip(inst.gauss_offsets, 0, n_slots)
+    starts = jnp.clip(inst.gauss_offsets - inst.gauss_cover, 0, n_slots)
+    return csum[ends] - csum[starts]                       # (N, 10)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _raster_core(fields, inst: TileInstances,
+                 n_tiles_x: int, n_tiles_y: int, interpret: bool):
+    inst_data = _assemble_inst(fields, inst)
+    return rasterize_fwd(inst_data, inst.tile_starts, n_tiles_x, n_tiles_y,
+                         interpret=interpret)
+
+
+def _raster_core_fwd(fields, inst, n_tiles_x, n_tiles_y, interpret):
+    out = _raster_core(fields, inst, n_tiles_x, n_tiles_y, interpret)
+    acc, logT = out
+    return out, (fields, inst, logT)
+
+
+def _raster_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
+    fields, inst, logT_final = res
+    d_acc, d_logT = d_out
+    inst_data = _assemble_inst(fields, inst)
+    ginst = rasterize_bwd(inst_data, inst.tile_starts, d_acc, d_logT,
+                          logT_final, n_tiles_x, n_tiles_y,
+                          interpret=interpret)
+    # int/bool pytree args take float0 cotangents
+    d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
+    return (_instance_grads_to_fields(ginst, inst), d_inst)
+
+
+_raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
+
+
+def rasterize_pallas_3dgs(
+    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
+    opacities: jnp.ndarray, colors: jnp.ndarray,
+    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
+    background: jnp.ndarray, sh_degree: Optional[int] = None,
+    render_mode: str = "RGB", eps2d: float = 0.3,
+    means2d_override: Optional[jnp.ndarray] = None,
+    cap: Optional[int] = None, interpret: bool = False,
+):
+    """Drop-in equivalent of `rasterize_tiled_3dgs` on the Pallas path.
+
+    colors must be RGB (N, 3) or SH (N, K, 3); outputs match the scan
+    backend: (render (H,W,C), alphas (H,W,1), info).
+    """
+    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
+        raise ValueError(f"Unknown render_mode: {render_mode}")
+    N = means.shape[0]
+    grid = _make_grid(width, height, TILE_W, TILE_H)
+    cap = cap if cap is not None else max(4 * N, G)
+    cap = -(-cap // G) * G
+
+    proj = project_3dgs(means, quats, scales, viewmat, K, width, height,
+                        eps2d=eps2d)
+    means2d = proj.means2d if means2d_override is None else means2d_override
+    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
+    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+
+    # gaussians below the alpha cutoff can never contribute — don't bin them
+    # (the neural-GS decode zeroes opacity on masked rows, so this is what
+    # keeps dead table padding free)
+    radii = jnp.where(opacities >= 1.0 / 255.0, proj.radii, 0.0)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
+                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
+                                TILE_W, TILE_H, cap)
+    inst = align_tile_segments(inst, grid.n_tiles, align=G)
+
+    fields = jnp.concatenate([
+        means2d, proj.conics, opacities[:, None], rgb, proj.depths[:, None],
+    ], axis=-1)                                            # (N, 10)
+
+    acc, logT = _raster_core(fields, inst, grid.n_tiles_x, grid.n_tiles_y,
+                             interpret)    # (n_tiles, 16, P), (n_tiles, 1, P)
+
+    color_t = jnp.swapaxes(acc[:, 6:9, :], 1, 2)           # (n_tiles, P, 3)
+    alpha_t = jnp.swapaxes(acc[:, 10:11, :], 1, 2)
+    depth_t = jnp.swapaxes(acc[:, 9:10, :], 1, 2)
+    T_final = jnp.exp(jnp.swapaxes(logT, 1, 2))            # (n_tiles, P, 1)
+
+    render = _tiles_to_image(color_t + T_final * background[None, None, :],
+                             grid, height, width)
+    alphas = _tiles_to_image(alpha_t, grid, height, width)
+
+    if render_mode == "RGB+D":
+        depth_img = _tiles_to_image(depth_t, grid, height, width)
+        render = jnp.concatenate([render, depth_img], axis=-1)
+    elif render_mode == "RGB+ED":
+        ed = depth_t / jnp.clip(alpha_t, 1e-10, None)
+        depth_img = _tiles_to_image(ed, grid, height, width)
+        render = jnp.concatenate([render, depth_img], axis=-1)
+
+    info = {"radii": proj.radii, "means2d": means2d, "depths": proj.depths,
+            "conics": proj.conics, "n_instances": inst.n_instances,
+            "n_dropped": inst.n_dropped}
+    return render, alphas, info
