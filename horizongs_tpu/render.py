@@ -111,6 +111,24 @@ def render(cam: Camera,
             colors, cam.viewmat, cam.K, cam.width, cam.height, background,
             sh_degree=sh_degree, render_mode=cfg.render_mode,
             means2d_override=probe)
+    elif rasterizer in ("pallas", "pallas_interpret"):
+        interp = rasterizer == "pallas_interpret"
+        if cfg.gs_attr == "3D":
+            from horizongs_tpu.ops.raster_pallas import rasterize_pallas_3dgs
+            out, alphas, info = rasterize_pallas_3dgs(
+                dec.means, dec.quats, dec.scales, dec.opacities, colors,
+                cam.viewmat, cam.K, cam.width, cam.height, background,
+                sh_degree=sh_degree, render_mode=cfg.render_mode,
+                means2d_override=probe, interpret=interp)
+            extras = {}
+        else:
+            # 2DGS has no Pallas kernel yet — XLA scan backend
+            from horizongs_tpu.ops.raster import render_tiled
+            out, alphas, info, extras = render_tiled(
+                cfg.gs_attr, dec.means, dec.quats, dec.scales,
+                dec.opacities, colors, cam.viewmat, cam.K, cam.width,
+                cam.height, background, sh_degree=sh_degree,
+                render_mode=cfg.render_mode, means2d_override=probe)
     else:
         raise ValueError(f"Unknown rasterizer: {rasterizer}")
 

@@ -1,0 +1,113 @@
+"""Multi-chip sharded training on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from horizongs_tpu.config import make_optim
+from horizongs_tpu.data.synthetic import orbit_cameras, random_gaussians
+from horizongs_tpu.models import ModelConfig, init_mlps, init_anchor_state_from_points
+from horizongs_tpu.ops.reference import render_dense_3dgs
+from horizongs_tpu.parallel.mesh import make_mesh
+from horizongs_tpu.parallel.step import build_sharded_train_step, shard_state
+from horizongs_tpu.train.optim import TrainableParams, init_adam
+from horizongs_tpu.train.step import (
+    TrainState, build_train_step, camera_tensors, init_stats)
+
+W = H = 32
+
+
+def _targets(n_cams, seed=0):
+    g = {k: jnp.asarray(v) for k, v in
+         random_gaussians(30, seed=seed, extent=0.7,
+                          scale_range=(0.1, 0.25)).items()}
+    cams = orbit_cameras(n_cams, radius=3.5, height_z=-1.0, width=W, height=H)
+    rfn = jax.jit(lambda vm, K: render_dense_3dgs(
+        g["means"], g["quats"], g["scales"], g["opacities"], g["colors"],
+        vm, K, W, H, jnp.zeros(3)))
+    return [c._replace(image=rfn(c.viewmat, c.K)[0],
+                       alpha_mask=jnp.ones((H, W, 1))) for c in cams], g
+
+
+def _state(cfg, pts, capacity=256, seed=0):
+    st = init_anchor_state_from_points(cfg, pts, capacity=capacity)
+    mlps = init_mlps(jax.random.PRNGKey(seed), cfg.feat_dim, cfg.view_dim,
+                     cfg.appearance_dim, cfg.n_offsets, cfg.color_dim)
+    params = TrainableParams(
+        anchor=st.anchor, offset=st.offset, feat=st.feat,
+        scaling_log=st.scaling_log, mlp_opacity=mlps.opacity,
+        mlp_cov=mlps.cov, mlp_color=mlps.color, appearance=mlps.appearance)
+    return TrainState(params=params, rotation=st.rotation, level=st.level,
+                      extra_level=st.extra_level, n=st.n,
+                      opt=init_adam(params),
+                      stats=init_stats(st.capacity, cfg.n_offsets))
+
+
+def _stack_cams(cams, do_stats=True):
+    cts = [camera_tensors(c, do_stats=do_stats) for c in cams]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cts)
+
+
+def test_sharded_step_matches_single_device():
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+
+    # single-device reference step
+    step1 = build_train_step(cfg, opt, H, W, add_prefilter=False)
+    ref_state, ref_metrics = step1(jax.tree.map(jnp.copy, ts),
+                                   camera_tensors(cams[0], do_stats=True), 1)
+
+    # 1 data x 2 model shards
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    stepN = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                     add_prefilter=False)
+    shard_ts = shard_state(ts, mesh)
+    new_state, metrics = stepN(shard_ts, _stack_cams(cams[:1]), 1)
+
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state.params.anchor),
+                               np.asarray(ref_state.params.anchor),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.params.feat),
+                               np.asarray(ref_state.params.feat), atol=1e-5)
+    for leaf_ref, leaf_new in zip(
+            jax.tree.leaves(ref_state.params.mlp_color),
+            jax.tree.leaves(new_state.params.mlp_color)):
+        np.testing.assert_allclose(np.asarray(leaf_new),
+                                   np.asarray(leaf_ref), atol=1e-5)
+    # densify stats match
+    np.testing.assert_allclose(np.asarray(new_state.stats.anchor_demon),
+                               np.asarray(ref_state.stats.anchor_demon),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state.stats.offset_gradient_accum),
+        np.asarray(ref_state.stats.offset_gradient_accum), atol=1e-6)
+
+
+def test_sharded_training_4x2_reduces_loss():
+    cfg = ModelConfig(name="GaussianLoDModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.3, fork=2, aerial_levels=2,
+                      street_levels=4, standard_dist=8.0)
+    cams, g = _targets(8)
+    opt = make_optim(start_stat=0, feature_lr=0.03, mlp_color_lr_init=0.02)
+    ts = _state(cfg, np.asarray(g["means"]), capacity=512)
+
+    mesh = make_mesh(data=4, model=2)
+    step = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                    add_prefilter=False)
+    ts = shard_state(ts, mesh)
+    losses = []
+    for it in range(1, 31):
+        batch = _stack_cams([cams[(4 * it + j) % 8] for j in range(4)])
+        ts, m = step(ts, batch, it)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+    # stats accumulated on shards
+    assert float(jnp.sum(ts.stats.anchor_demon)) > 0
