@@ -1,0 +1,79 @@
+"""`python -m horizongs_tpu.cli.train --config X.yaml` — the train driver.
+
+Reference equivalent: `python train.py --config X.yaml` (`train.py:689-779`):
+train, save, re-render the held-out set, evaluate, write results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a Horizon-GS TPU model")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--save_iterations", type=int, nargs="*", default=None)
+    parser.add_argument("--checkpoint_iterations", type=int, nargs="*",
+                        default=[])
+    parser.add_argument("--rasterizer", default="auto",
+                        choices=["auto", "pallas", "tiled", "dense",
+                                 "pallas_interpret"])
+    parser.add_argument("--skip_eval", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wandb", action="store_true")
+    args = parser.parse_args(argv)
+
+    from horizongs_tpu.cli.common import get_logger, load_config
+    from horizongs_tpu.data.scene import Scene
+    from horizongs_tpu.train.trainer import Trainer
+    from horizongs_tpu.train.evaluate import (
+        evaluate_sets, lpips_fn_or_none, render_set)
+
+    lp, op, pp, cfg = load_config(args.config, args.model_path)
+    if args.iterations is not None:
+        op.iterations = args.iterations
+    logger = get_logger("train", lp.model_path)
+    os.makedirs(lp.model_path, exist_ok=True)
+    shutil.copy(args.config, os.path.join(lp.model_path, "config.yaml"))
+    with open(os.path.join(lp.model_path, "cfg_args"), "w") as f:
+        f.write(str(vars(lp)))
+
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project="horizongs_tpu",
+                                   name=str(lp.scene_name), config=vars(op))
+        except Exception as e:
+            logger.info(f"wandb unavailable: {e}")
+
+    scene = Scene(lp, cfg, weed_ratio=pp.weed_ratio, logger=logger,
+                  seed=args.seed)
+    trainer = Trainer(scene.cfg, op, pp, scene, logger=logger,
+                      rasterizer=args.rasterizer, seed=args.seed,
+                      wandb_run=wandb_run)
+    iterations = args.iterations or op.iterations
+    save_iters = set(args.save_iterations
+                     if args.save_iterations is not None else [iterations])
+    save_iters.add(iterations)
+    trainer.train(iterations=iterations, save_iterations=save_iters,
+                  checkpoint_iterations=set(args.checkpoint_iterations))
+
+    if not args.skip_eval:
+        logger.info("Rendering + evaluating test set")
+        cams = scene.get_test_cameras() or scene.get_train_cameras()
+        renders, gts, counts, times, types = render_set(
+            lp.model_path, "test", iterations, cams, scene.cfg, scene,
+            trainer.state, rasterizer=trainer.rasterizer)
+        results = evaluate_sets(lp.model_path, iterations, renders, gts,
+                                types, lpips_model=lpips_fn_or_none())
+        logger.info(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

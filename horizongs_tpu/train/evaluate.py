@@ -1,0 +1,150 @@
+"""Render sets + evaluation: the reference's post-training pipeline.
+
+`render_sets` / `evaluate` (`train.py:385-669`, `render.py`, `metrics.py`):
+re-render train/test cameras, dump renders / gt / error maps, count
+visible gaussians per view, and compute PSNR / SSIM (/ LPIPS when weights
+are available) split by aerial/street into results.json + per_view.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from horizongs_tpu.models.config import ModelConfig
+from horizongs_tpu.render import render as render_fn
+from horizongs_tpu.models.explicit import render_explicit
+from horizongs_tpu.train.losses import psnr, ssim
+from horizongs_tpu.train.optim import mlps_from_params
+
+
+def save_image(path: str, img: np.ndarray, alpha: np.ndarray = None) -> None:
+    from PIL import Image
+    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    if alpha is not None:
+        a = (np.clip(np.asarray(alpha[..., 0]), 0, 1) * 255).astype(np.uint8)
+        arr = np.concatenate([arr, a[..., None]], axis=-1)
+        Image.fromarray(arr, "RGBA").save(path)
+    else:
+        Image.fromarray(arr).save(path)
+
+
+def lpips_fn_or_none():
+    """LPIPS(vgg) needs pretrained torchvision weights; zero-egress
+    environments won't have them — gate gracefully (reference loads it
+    unconditionally at `train.py:50`)."""
+    try:
+        import torch
+        import lpips  # noqa
+        return lpips.LPIPS(net="vgg")
+    except Exception:
+        return None
+
+
+def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
+               scene, state, rasterizer: str = "tiled",
+               save_images: bool = True, explicit: bool = False):
+    """Render one camera set; returns (renders, gts, per_view_counts,
+    elapsed seconds per view)."""
+    base = os.path.join(out_dir, name, f"ours_{iteration}")
+    render_dir = os.path.join(base, "renders")
+    gt_dir = os.path.join(base, "gt")
+    err_dir = os.path.join(base, "errors")
+    if save_images:
+        for d in (render_dir, gt_dir, err_dir):
+            os.makedirs(d, exist_ok=True)
+
+    renders, gts, counts, times, types = [], [], [], [], []
+    fns = {}
+    for idx, cam in enumerate(cameras):
+        key = (cam.height, cam.width)
+        if key not in fns:
+            if explicit:
+                fns[key] = jax.jit(lambda vm, K, cc, st, c=cam: render_explicit(
+                    c._replace(viewmat=vm, K=K, cam_center=cc), cfg, st,
+                    scene.background, rasterizer=rasterizer))
+            else:
+                mlps = mlps_from_params(state.params)
+                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam, m=mlps: render_fn(
+                    c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
+                    cfg, m, ast, scene.background,
+                    add_prefilter=getattr(scene, "add_prefilter", True),
+                    rasterizer=rasterizer))
+        t0 = time.time()
+        if explicit:
+            pkg = fns[key](cam.viewmat, cam.K, cam.cam_center, state)
+            vis = pkg["gs_mask"]
+        else:
+            pkg = fns[key](cam.viewmat, cam.K, cam.cam_center,
+                           jnp.asarray(cam.uid), state.anchor_state())
+            vis = pkg["selection_mask"]
+        img = jax.block_until_ready(pkg["render"])
+        times.append(time.time() - t0)
+        counts.append(int(jnp.sum(vis)))
+        gt = cam.image if cam.image is not None else jnp.zeros_like(img)
+        mask = cam.alpha_mask if cam.alpha_mask is not None else None
+        if mask is not None:
+            img = img * mask
+            gt = gt * mask
+        renders.append(np.asarray(img))
+        gts.append(np.asarray(gt))
+        types.append(cam.image_type)
+        if save_images:
+            stem = f"{idx:05d}"
+            save_image(os.path.join(render_dir, stem + ".png"), img,
+                       alpha=mask)
+            save_image(os.path.join(gt_dir, stem + ".png"), gt, alpha=mask)
+            save_image(os.path.join(err_dir, stem + ".png"),
+                       np.abs(np.asarray(img) - np.asarray(gt)))
+    if save_images:
+        with open(os.path.join(base, "per_view_count.json"), "w") as f:
+            json.dump({f"{i:05d}": c for i, c in enumerate(counts)}, f)
+    return renders, gts, counts, times, types
+
+
+def evaluate_sets(out_dir: str, iteration: int, renders, gts, types,
+                  lpips_model=None, tag: str = "test"):
+    """PSNR/SSIM(/LPIPS) per aerial/street split -> results.json
+    (`metrics.py:52-148`, `train.py:520-669`)."""
+    per_view = {"PSNR": {}, "SSIM": {}, "LPIPS": {}}
+    groups = {"all": [], "aerial": [], "street": []}
+    for i, (r, g, t) in enumerate(zip(renders, gts, types)):
+        p = float(psnr(jnp.asarray(r), jnp.asarray(g)))
+        s = float(ssim(jnp.asarray(r), jnp.asarray(g)))
+        l = None
+        if lpips_model is not None:
+            import torch
+            with torch.no_grad():
+                l = float(lpips_model(
+                    torch.tensor(np.asarray(r)).permute(2, 0, 1)[None] * 2 - 1,
+                    torch.tensor(np.asarray(g)).permute(2, 0, 1)[None] * 2 - 1))
+        name = f"{i:05d}"
+        per_view["PSNR"][name] = p
+        per_view["SSIM"][name] = s
+        per_view["LPIPS"][name] = l
+        groups["all"].append((p, s, l))
+        groups[t].append((p, s, l))
+
+    results = {}
+    for gname, vals in groups.items():
+        if not vals:
+            continue
+        results[gname] = {
+            "PSNR": float(np.mean([v[0] for v in vals])),
+            "SSIM": float(np.mean([v[1] for v in vals])),
+            "LPIPS": (float(np.mean([v[2] for v in vals]))
+                      if vals[0][2] is not None else None),
+            "n_views": len(vals),
+        }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"results_{tag}.json"), "w") as f:
+            json.dump({f"ours_{iteration}": results}, f, indent=2)
+        with open(os.path.join(out_dir, f"per_view_{tag}.json"), "w") as f:
+            json.dump({f"ours_{iteration}": per_view}, f, indent=2)
+    return results

@@ -1,0 +1,166 @@
+"""Training driver: the host-side loop around the jitted train step.
+
+Port of the reference trainer semantics (`train.py:83-285`):
+  * aerial/street-balanced camera sampling (`camera_proportion` "a-s",
+    `train.py:134-148`)
+  * densification statistics gated per view type
+    (`aerial_densify`/`street_densify`, `train.py:259-260`)
+  * densify every `update_interval` inside (update_from, update_until),
+    with fine-stage rollback before each epoch and a final rollback +
+    stats clean at update_until (`train.py:265-273`)
+  * SH degree bump every 1000 iterations (`update_learning_rate` tail)
+  * periodic save / checkpoint / vis dumps
+
+Cameras are grouped by resolution; each (H, W, capacity, sh_degree)
+combination compiles one step.
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from horizongs_tpu.models.config import ModelConfig
+from horizongs_tpu.train.densify import clean_stats, roll_back, run_densify
+from horizongs_tpu.train.step import build_train_step, camera_tensors
+from horizongs_tpu.io.checkpoints import save_train_checkpoint
+
+
+def pick_rasterizer(requested: str = "auto") -> str:
+    if requested != "auto":
+        return requested
+    return "pallas" if jax.default_backend() != "cpu" else "tiled"
+
+
+class Trainer:
+    def __init__(self, cfg: ModelConfig, op, pp, scene, logger=None,
+                 rasterizer: str = "auto", seed: int = 0,
+                 wandb_run=None):
+        self.cfg = cfg
+        self.op = op
+        self.pp = pp
+        self.scene = scene
+        self.log = logger.info if logger else print
+        self.rasterizer = pick_rasterizer(rasterizer)
+        self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.wandb = wandb_run
+        self._steps = {}
+        self.state = scene.train_state
+        self.active_sh_degree = 0 if cfg.max_sh_degree is not None else None
+        if scene.stage == "fine":
+            self.active_sh_degree = cfg.max_sh_degree
+
+    def _step_fn(self, H, W):
+        key = (H, W, self.state.params.anchor.shape[0],
+               self.active_sh_degree)
+        if key not in self._steps:
+            self._steps[key] = build_train_step(
+                self.cfg, self.op, H, W,
+                spatial_lr_scale=self.scene.cameras_extent,
+                frozen_mlps=self.scene.frozen_mlps,
+                add_prefilter=self.pp.add_prefilter,
+                rasterizer=self.rasterizer,
+                active_sh_degree=self.active_sh_degree,
+                background=self.scene.background,
+                frozen_appearance=getattr(self.scene, "frozen_appearance",
+                                          False))
+        return self._steps[key]
+
+    def _pick_camera(self, stacks):
+        pp = self.pp
+        if pp.camera_balance:
+            if not stacks["aerial"]:
+                stacks["aerial"] = [c for c in self.scene.get_train_cameras()
+                                    if c.image_type == "aerial"]
+            if not stacks["street"]:
+                stacks["street"] = [c for c in self.scene.get_train_cameras()
+                                    if c.image_type == "street"]
+            a, s = pp.camera_proportion.split("-")
+            have_a, have_s = bool(stacks["aerial"]), bool(stacks["street"])
+            r = float(a) / (float(a) + float(s))
+            if have_a and (not have_s or self.np_rng.random() < r):
+                stack = stacks["aerial"]
+            else:
+                stack = stacks["street"]
+        else:
+            if not stacks["all"]:
+                stacks["all"] = list(self.scene.get_train_cameras())
+            stack = stacks["all"]
+        return stack.pop(self.rng.randint(0, len(stack) - 1))
+
+    def train(self, iterations: Optional[int] = None,
+              save_iterations=(), checkpoint_iterations=(),
+              first_iter: int = 1, progress_every: int = 50):
+        op, pp, cfg = self.op, self.pp, self.cfg
+        iterations = iterations or op.iterations
+        stacks = defaultdict(list)
+        ema_loss = 0.0
+        densify_cnt = 0
+        history = []
+        t_start = time.time()
+
+        for it in range(first_iter, iterations + 1):
+            # SH degree progression (`update_learning_rate`, every 1000)
+            if (self.active_sh_degree is not None and it % 1000 == 0
+                    and self.scene.stage != "fine"
+                    and self.active_sh_degree < cfg.max_sh_degree):
+                self.active_sh_degree += 1
+
+            cam = self._pick_camera(stacks)
+            do_stats = (op.start_stat < it < op.update_until) and (
+                (cam.image_type == "aerial" and pp.aerial_densify)
+                or (cam.image_type == "street" and pp.street_densify))
+            ct = camera_tensors(cam, do_stats=do_stats)
+            step = self._step_fn(cam.height, cam.width)
+            self.state, metrics = step(self.state, ct, it)
+            if do_stats:
+                densify_cnt += 1
+
+            loss = float(metrics["loss"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss if it > first_iter else loss
+            history.append(loss)
+            if it % progress_every == 0 or it == iterations:
+                self.log(f"[it {it:6d}] loss={ema_loss:.5f} "
+                         f"psnr={float(metrics['psnr']):.2f} "
+                         f"anchors={int(self.state.n)} "
+                         f"({(time.time() - t_start):.0f}s)")
+                if self.wandb is not None:
+                    self.wandb.log({"train_total_loss": loss,
+                                    "psnr": float(metrics["psnr"]),
+                                    "anchors": int(self.state.n)}, step=it)
+
+            # densification epochs (`train.py:256-273`)
+            if op.start_stat < it < op.update_until:
+                if (op.densification and it > op.update_from
+                        and densify_cnt > 0
+                        and densify_cnt % op.update_interval == 0):
+                    if self.scene.base is not None:
+                        self.state = roll_back(self.state, self.scene.base,
+                                               cfg)
+                    self.state = run_densify(
+                        cfg, op, self.state, it, stage=self.scene.stage,
+                        rng=self.np_rng, cam_infos=self.scene.cam_infos,
+                        weed_ratio=self.scene.weed_ratio)
+                    densify_cnt += 1  # avoid retriggering until next interval
+            elif it == op.update_until:
+                if self.scene.base is not None:
+                    self.state = roll_back(self.state, self.scene.base, cfg)
+                self.state = clean_stats(self.state, cfg)
+
+            if it in save_iterations:
+                self.log(f"[ITER {it}] Saving Gaussians")
+                self.scene.save(it, self.state)
+            if it in checkpoint_iterations:
+                self.log(f"[ITER {it}] Saving Checkpoint")
+                save_train_checkpoint(
+                    os.path.join(self.scene.model_path, f"chkpnt{it}.npz"),
+                    self.state, it)
+
+        return history

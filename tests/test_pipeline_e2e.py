@@ -1,0 +1,195 @@
+"""Full pipeline: on-disk dataset -> train CLI -> saved artifacts ->
+render CLI -> fine stage from pretrained -> explicit bake round-trip."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from horizongs_tpu.data.synthetic import write_synthetic_blender_dataset
+
+W = H = 48
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("synth_data"))
+    write_synthetic_blender_dataset(path, n_train=6, n_test=2,
+                                    width=W, height=H)
+    return path
+
+
+def _config(dataset, out, **optim):
+    cfg = {
+        "model_params": {
+            "model_config": {"name": "GaussianLoDModel", "kwargs": {
+                "fork": 2, "gs_attr": "3D", "color_attr": "RGB",
+                "feat_dim": 16, "view_dim": 3, "appearance_dim": 0,
+                "n_offsets": 4, "voxel_size": 0.3, "render_mode": "RGB+ED",
+                "standard_dist": 8.0, "aerial_levels": 2,
+                "street_levels": 4}},
+            "dataset_name": "synth", "scene_name": "tiny",
+            "data_format": "blender", "source_path": dataset,
+            "add_mask": False, "add_depth": False, "eval": True,
+            "resolution": 1, "scale": 1.0, "center": [0, 0, 0],
+        },
+        "pipeline_params": {
+            "camera_balance": True, "camera_proportion": "2-1",
+            "aerial_densify": True, "street_densify": False,
+            "weed_ratio": 0.0, "add_prefilter": False,
+            "vis_step": 5000, "no_prefilter_step": 0},
+        "optim_params": dict(
+            iterations=60, start_stat=5, update_from=20,
+            update_interval=15, update_until=50, feature_lr=0.03,
+            mlp_color_lr_init=0.02, lambda_dreg=0.0, lambda_sky_opa=0.0,
+            lambda_opacity_entropy=0.0, densify_grad_threshold=0.0002,
+            **optim),
+    }
+    cfg_path = os.path.join(out, "config_in.yaml")
+    os.makedirs(out, exist_ok=True)
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    return cfg_path
+
+
+def test_train_render_cli(dataset, tmp_path):
+    from horizongs_tpu.cli.train import main as train_main
+    from horizongs_tpu.cli.render import main as render_main
+
+    out = str(tmp_path / "out")
+    cfg_path = _config(dataset, out)
+    rc = train_main(["--config", cfg_path, "--model_path", out,
+                     "--rasterizer", "tiled"])
+    assert rc == 0
+    it_dir = os.path.join(out, "point_cloud", "iteration_60")
+    assert os.path.exists(os.path.join(it_dir, "point_cloud.ply"))
+    assert os.path.exists(os.path.join(it_dir, "mlps.npz"))
+    with open(os.path.join(out, "results_test.json")) as f:
+        results = json.load(f)["ours_60"]
+    assert results["all"]["PSNR"] > 20.0
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    assert os.path.exists(os.path.join(out, "input.ply"))
+
+    rc = render_main(["-m", out, "--skip_train", "--rasterizer", "tiled"])
+    assert rc == 0
+    rdir = os.path.join(out, "test", "ours_60", "renders")
+    assert len(os.listdir(rdir)) == 2
+
+    # fine stage: pretrained checkpoint -> frozen MLPs + rollback copies
+    fine_out = str(tmp_path / "fine")
+    fine_cfg_path = _config(dataset, fine_out)
+    with open(fine_cfg_path) as f:
+        fine_cfg = yaml.safe_load(f)
+    fine_cfg["model_params"]["pretrained_checkpoint"] = it_dir
+    fine_cfg["pipeline_params"]["camera_proportion"] = "1-1"
+    fine_cfg["pipeline_params"]["street_densify"] = True
+    fine_cfg["optim_params"]["iterations"] = 25
+    fine_cfg["optim_params"]["update_until"] = 20
+    with open(fine_cfg_path, "w") as f:
+        yaml.dump(fine_cfg, f)
+    rc = train_main(["--config", fine_cfg_path, "--model_path", fine_out,
+                     "--rasterizer", "tiled"])
+    assert rc == 0
+    with open(os.path.join(fine_out, "results_test.json")) as f:
+        fine_results = json.load(f)["ours_25"]
+    assert fine_results["all"]["PSNR"] > 18.0
+
+
+def test_explicit_bake_roundtrip(tmp_path):
+    """SH + view_dim=0 model -> bake -> explicit PLY -> reload -> render
+    matches the neural render."""
+    from horizongs_tpu.models import (
+        ModelConfig, init_anchor_state_from_points)
+    from horizongs_tpu.models.factory import new_mlps
+    from horizongs_tpu.models.explicit import (
+        bake_explicit, explicit_state_from_arrays, render_explicit)
+    from horizongs_tpu.io.checkpoints import (
+        save_explicit_ply, load_explicit_ply)
+    from horizongs_tpu.render import render as render_fn
+    from horizongs_tpu.data.synthetic import lookat_camera, random_gaussians
+
+    cfg = ModelConfig(name="GaussianLoDModel", feat_dim=16, n_offsets=4,
+                      view_dim=0, color_attr="SH1", render_mode="RGB",
+                      voxel_size=0.3, fork=2, aerial_levels=2,
+                      street_levels=4, standard_dist=8.0)
+    g = random_gaussians(40, seed=3, extent=0.7)
+    state = init_anchor_state_from_points(cfg, g["means"], capacity=256)
+    state = state._replace(feat=0.3 * jax.random.normal(
+        jax.random.PRNGKey(0), state.feat.shape))
+    mlps = new_mlps(cfg, seed=1)
+
+    cam = lookat_camera(width=48, height=48, eye=(0, 0, -4))
+    bg = jnp.zeros(3)
+    neural = render_fn(cam, cfg, mlps, state, bg, add_prefilter=False,
+                       rasterizer="tiled",
+                       active_sh_degree=cfg.max_sh_degree)["render"]
+
+    arrays = bake_explicit(cfg, mlps, state)
+    assert arrays["xyz"].shape[0] > 0
+    path = str(tmp_path / "explicit.ply")
+    save_explicit_ply(path, cfg, arrays)
+    loaded, info = load_explicit_ply(path)
+    assert info["aerial_levels"] == 2.0
+    np.testing.assert_allclose(loaded["xyz"], arrays["xyz"], atol=1e-6)
+    np.testing.assert_allclose(loaded["features"], arrays["features"],
+                               atol=1e-6)
+
+    est = explicit_state_from_arrays(loaded)
+    explicit = render_explicit(cam, cfg, est, bg,
+                               rasterizer="tiled")["render"]
+    np.testing.assert_allclose(np.asarray(explicit), np.asarray(neural),
+                               atol=2e-3)
+
+
+def test_anchor_ply_roundtrip(tmp_path):
+    from horizongs_tpu.models import ModelConfig, init_anchor_state_from_points
+    from horizongs_tpu.io.checkpoints import save_anchor_ply, load_anchor_ply
+    from horizongs_tpu.data.synthetic import random_gaussians
+
+    cfg = ModelConfig(name="GaussianLoDModel", feat_dim=8, n_offsets=4,
+                      view_dim=3, color_attr="RGB", voxel_size=0.3,
+                      fork=2, aerial_levels=2, street_levels=4,
+                      standard_dist=7.5)
+    g = random_gaussians(50, seed=5)
+    state = init_anchor_state_from_points(cfg, g["means"], capacity=256)
+    state = state._replace(
+        offset=0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                       state.offset.shape),
+        feat=jax.random.normal(jax.random.PRNGKey(2), state.feat.shape))
+    path = str(tmp_path / "anchors.ply")
+    save_anchor_ply(path, cfg, state)
+    loaded, info = load_anchor_ply(path, cfg)
+    n = int(state.n)
+    assert int(loaded.n) == n
+    assert info["standard_dist"] == pytest.approx(7.5)
+    np.testing.assert_allclose(np.asarray(loaded.anchor[:n]),
+                               np.asarray(state.anchor[:n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.offset[:n]),
+                               np.asarray(state.offset[:n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.feat[:n]),
+                               np.asarray(state.feat[:n]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(loaded.level[:n]),
+                                  np.asarray(state.level[:n]))
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    from horizongs_tpu.models import ModelConfig, init_anchor_state_from_points
+    from horizongs_tpu.models.factory import make_train_state, new_mlps
+    from horizongs_tpu.io.checkpoints import (
+        save_train_checkpoint, load_train_checkpoint)
+    from horizongs_tpu.data.synthetic import random_gaussians
+
+    cfg = ModelConfig(name="GaussianModel", feat_dim=8, n_offsets=4,
+                      view_dim=0, color_attr="RGB", voxel_size=0.2)
+    g = random_gaussians(30, seed=7)
+    state = init_anchor_state_from_points(cfg, g["means"], capacity=128)
+    ts = make_train_state(cfg, state, new_mlps(cfg))
+    path = str(tmp_path / "ck.npz")
+    save_train_checkpoint(path, ts, 123)
+    loaded, it = load_train_checkpoint(path, ts)
+    assert it == 123
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
