@@ -134,7 +134,7 @@ def write_points_ply(path: str, points: np.ndarray,
                      nz=normals[:, 2].astype(np.float32))
     if colors is not None:
         c = colors
-        if c.max() <= 1.5:
+        if c.size and c.max() <= 1.5:
             c = c * 255.0
         c = c.astype(np.uint8)
         props.update(red=c[:, 0], green=c[:, 1], blue=c[:, 2])
