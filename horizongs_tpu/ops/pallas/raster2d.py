@@ -1,0 +1,455 @@
+"""Pallas TPU kernels: 2DGS (surfel) ray-splat compositing, fwd + bwd.
+
+The TPU equivalent of gsplat's `rasterize_to_pixels_2dgs` CUDA kernel
+pair (reference calls it via `rasterization_2dgs`,
+`gaussian_renderer/render.py:55-76`). Same chunked architecture as the
+3DGS kernel (`raster3d.py`): grid over image tiles, double-buffered DMA
+of depth-sorted G=128-instance chunks, triangular-matmul prefix scans on
+the MXU, per-instance gradients to disjoint columns (no atomics).
+
+Differences from 3DGS:
+  * alpha comes from the 2DGS ray-splat intersection: with splat
+    transform rows M1,M2,M3 and pixel (px,py),
+      hu = px*M3 - M1, hv = py*M3 - M2, k = hu x hv,
+      (u,v) = (k0/k2, k1/k2),  rho3d = u^2+v^2,
+    low-pass filtered with the screen-space rho2d = 2*((px-mx)^2+(py-my)^2)
+    (min of the two), alpha = op * exp(-0.5*rho)  — matching the dense
+    oracle `ops/reference.py:_composite_chunk_2dgs`.
+  * depth is per (pixel,instance): z = M3 . (u, v, 1); the depth
+    accumulator is an elementwise reduction, not a field row.
+  * extra per-pixel outputs: accumulated normals (field rows via the
+    MXU), depth-distortion (2DGS eq. 15, streaming prefix form), median
+    depth + the instance column that crossed T<0.5 (for exact backward
+    selection).
+  * tile is 32x16 (P=512): the intersection math keeps ~2x more (P,G)
+    temporaries live than 3DGS, so the tile is halved for VMEM headroom.
+
+Instance field rows (INST_DIM=24):
+  0-2 M1, 3-5 M2, 6-8 M3, 9 mx, 10 my, 11 opacity, 12-14 rgb,
+  15-17 normal, 18 one (validity), 19-23 pad.
+Gradient rows mirror the field rows 0..17.
+
+Aux output rows (AUX_DIM=8):
+  0 logT_final, 1 D (sum w*z), 2 distortion, 3 median depth,
+  4 median instance column (-1 if none), 5 A (sum w), 6-7 pad.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INST_DIM = 24
+AUX_DIM = 8
+G = 128
+TILE_W = 32
+TILE_H = 16
+P = TILE_W * TILE_H
+
+ALPHA_CUTOFF = 1.0 / 255.0
+MAX_ALPHA = 0.999
+LOG_T_EPS = math.log(1e-4)
+FILTER_INV_SQUARE = 2.0
+KZ_EPS = 1e-9
+Z_MIN = 0.01
+
+F32 = jnp.float32
+
+
+def _excl_prefix_mat():
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (r < c).astype(F32)
+
+
+def _incl_suffix_mat():
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (r >= c).astype(F32)
+
+
+def _strict_suffix_mat():
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (r > c).astype(F32)
+
+
+def _pixel_coords(tile_id, n_tiles_x):
+    tx = (tile_id % n_tiles_x).astype(F32) * TILE_W
+    ty = (tile_id // n_tiles_x).astype(F32) * TILE_H
+    row = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    lx = (row % TILE_W).astype(F32) + 0.5
+    ly = (row // TILE_W).astype(F32) + 0.5
+    return tx + lx, ty + ly
+
+
+def _intersect(buf, px, py, col0, count):
+    """Ray-splat intersection for one chunk.
+
+    Returns dict of (P,G)/(1,G) arrays shared by fwd and bwd."""
+    M1x, M1y, M1z = buf[0:1, :], buf[1:2, :], buf[2:3, :]
+    M2x, M2y, M2z = buf[3:4, :], buf[4:5, :], buf[5:6, :]
+    M3x, M3y, M3z = buf[6:7, :], buf[7:8, :], buf[8:9, :]
+    mx, my = buf[9:10, :], buf[10:11, :]
+    op = buf[11:12, :]
+    one = buf[18:19, :]
+
+    hux = px * M3x - M1x                    # (P, G)
+    huy = px * M3y - M1y
+    huz = px * M3z - M1z
+    hvx = py * M3x - M2x
+    hvy = py * M3y - M2y
+    hvz = py * M3z - M2z
+    kx = huy * hvz - huz * hvy
+    ky = huz * hvx - hux * hvz
+    kz = hux * hvy - huy * hvx
+    kz_ok = jnp.abs(kz) > KZ_EPS
+    kzs = jnp.where(kz_ok, kz, KZ_EPS)
+    u = kx / kzs
+    v = ky / kzs
+    rho3d = u * u + v * v
+    dx = px - mx
+    dy = py - my
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.where(use3d, rho3d, rho2d)
+    z = M3x * u + M3y * v + M3z
+
+    raw = op * jnp.exp(-0.5 * rho)
+    alpha = jnp.minimum(raw, MAX_ALPHA)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    valid = (col < count) & (one > 0.5)
+    alpha = jnp.where((alpha >= ALPHA_CUTOFF) & valid & (z > Z_MIN),
+                      alpha, 0.0)
+    lam = jnp.log1p(-alpha)
+    return dict(alpha=alpha, lam=lam, z=z, u=u, v=v, dx=dx, dy=dy,
+                use3d=use3d, kzs=kzs, kz_ok=kz_ok,
+                hu=(hux, huy, huz), hv=(hvx, hvy, hvz),
+                M3=(M3x, M3y, M3z), op=op,
+                not_clamped=(raw < MAX_ALPHA), col=col)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
+                *, n_tiles_x):
+    t = pl.program_id(0)
+    start = tile_starts[t]
+    count = tile_starts[t + 1] - start
+    n_chunks = pl.cdiv(count, G)
+
+    px, py = _pixel_coords(t, n_tiles_x)
+    M_excl = _excl_prefix_mat()
+
+    def dma(i, slot):
+        off = pl.multiple_of(start + i * G, G)
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(carry):
+        i = carry[0]
+        logT = carry[2]
+        return (i < n_chunks) & (jnp.max(logT) > LOG_T_EPS)
+
+    def body(carry):
+        i, acc, logT, A, D, dist, med, medidx = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        dma(i, slot).wait()
+        chunk = buf[slot]
+        it = _intersect(chunk, px, py, i * G, count)
+        alpha, lam, z = it["alpha"], it["lam"], it["z"]
+
+        lam_excl = jax.lax.dot(lam, M_excl, preferred_element_type=F32)
+        logT_tot = logT + lam_excl
+        w = jnp.where(logT_tot > LOG_T_EPS, alpha * jnp.exp(logT_tot), 0.0)
+        wz = w * z
+
+        acc = acc + jax.lax.dot_general(
+            chunk, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)                        # (24, P)
+
+        # distortion: 2 * sum w * (z * A_prev - D_prev), streaming
+        A_prev = A + jax.lax.dot(w, M_excl, preferred_element_type=F32)
+        D_prev = D + jax.lax.dot(wz, M_excl, preferred_element_type=F32)
+        dist = dist + 2.0 * jnp.sum(w * (z * A_prev - D_prev), axis=1,
+                                    keepdims=True)
+
+        # median: first instance where T_after < 0.5 (w > 0)
+        T_after = jnp.exp(logT_tot + lam)
+        crossed = ((T_after < 0.5) & (w > 0.0)).astype(F32)
+        prefix = jax.lax.dot(crossed, M_excl, preferred_element_type=F32)
+        first = crossed * (prefix < 0.5) * (medidx < -0.5)     # (P, G)
+        colf = (i * G + jax.lax.broadcasted_iota(
+            jnp.int32, (1, G), 1)).astype(F32)
+        med = med + jnp.sum(first * z, axis=1, keepdims=True)
+        medidx = medidx + jnp.sum(first * (colf + 1.0), axis=1,
+                                  keepdims=True)
+
+        A = A + jnp.sum(w, axis=1, keepdims=True)
+        D = D + jnp.sum(wz, axis=1, keepdims=True)
+        logT = logT + jnp.sum(lam, axis=1, keepdims=True)
+        return i + 1, acc, logT, A, D, dist, med, medidx
+
+    z1 = jnp.zeros((P, 1), F32)
+    i_fin, acc, logT, A, D, dist, med, medidx = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((INST_DIM, P), F32),
+         z1, z1, z1, z1, z1, z1 - 1.0))
+
+    @pl.when((i_fin < n_chunks) & (n_chunks > 0))
+    def _():
+        dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+
+    acc_ref[0] = acc
+    aux = jnp.concatenate(
+        [logT, D, dist, med, medidx, A, jnp.zeros((P, 2), F32)], axis=1)
+    aux_ref[0] = jnp.swapaxes(aux, 0, 1)                       # (8, P)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "interpret"))
+def rasterize2d_fwd(inst_data, tile_starts, n_tiles_x: int, n_tiles_y: int,
+                    interpret: bool = False):
+    """inst_data (24, CAP+G), tile_starts (n_tiles+1,) ->
+    (acc (n_tiles, 24, P), aux (n_tiles, 8, P))."""
+    n_tiles = n_tiles_x * n_tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, INST_DIM, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, AUX_DIM, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, INST_DIM, G), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_tiles_x=n_tiles_x),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, INST_DIM, P), F32),
+                   jax.ShapeDtypeStruct((n_tiles, AUX_DIM, P), F32)),
+        interpret=interpret,
+    )(tile_starts, inst_data)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
+                ginst_ref, buf, go, gaux, saux, gbuf, sem, sem_go, wsem,
+                *, n_tiles_x):
+    t = pl.program_id(0)
+    start = tile_starts[t]
+    count = tile_starts[t + 1] - start
+    n_chunks = pl.cdiv(count, G)
+
+    cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
+    cp_go.start()
+    cp_ga = pltpu.make_async_copy(daux_hbm.at[t], gaux, sem_go)
+    cp_ga.start()
+    cp_sa = pltpu.make_async_copy(aux_hbm.at[t], saux, sem_go)
+    cp_sa.start()
+    cp_go.wait()
+    cp_ga.wait()
+    cp_sa.wait()
+
+    px, py = _pixel_coords(t, n_tiles_x)
+    M_sufi = _incl_suffix_mat()
+    M_sufs = _strict_suffix_mat()
+
+    def row(ref, r):
+        return jnp.swapaxes(ref[r:r + 1, :], 0, 1)             # (P, 1)
+
+    d_logT = row(gaux, 0)
+    d_D = row(gaux, 1)
+    d_dist = row(gaux, 2)
+    d_med = row(gaux, 3)
+    logT0 = row(saux, 0)
+    D_total = row(saux, 1)
+    medidx = row(saux, 4)
+    A_total = row(saux, 5)
+
+    def dma(i, slot):
+        off = pl.multiple_of(start + i * G, G)
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
+
+    def wdma(i, slot):
+        off = pl.multiple_of(start + i * G, G)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+
+    def body(k, carry):
+        S, logT_after, A_suf_c, D_suf_c = carry
+        i = n_chunks - 1 - k
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            dma(i - 1, jax.lax.rem(i - 1, 2)).start()
+
+        dma(i, slot).wait()
+        chunk = buf[slot]
+        it = _intersect(chunk, px, py, i * G, count)
+        alpha, lam, z = it["alpha"], it["lam"], it["z"]
+        u, v = it["u"], it["v"]
+        M3x, M3y, M3z = it["M3"]
+
+        suf_incl = jax.lax.dot(lam, M_sufi, preferred_element_type=F32)
+        logT_tot = logT_after - suf_incl
+        T = jnp.exp(logT_tot)
+        w = jnp.where(logT_tot > LOG_T_EPS, alpha * T, 0.0)
+        wz = w * z
+
+        A_suf = A_suf_c + jax.lax.dot(w, M_sufs, preferred_element_type=F32)
+        D_suf = D_suf_c + jax.lax.dot(wz, M_sufs, preferred_element_type=F32)
+        A_prev = A_total - A_suf - w
+        D_prev = D_total - D_suf - wz
+
+        # total dL/dw: fields (color/normal/alpha) + depth + distortion
+        dw = jax.lax.dot_general(go[:], chunk, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=F32)
+        dw = dw + d_D * z
+        dw = dw + d_dist * 2.0 * ((z * A_prev - D_prev)
+                                  + (D_suf - z * A_suf))
+        # dL/dz: depth + distortion + median selection
+        # fwd stores medidx = -1 + (colf + 1) = colf of the crossing column
+        colf = (i * G + jax.lax.broadcasted_iota(
+            jnp.int32, (1, G), 1)).astype(F32)
+        selected = (jnp.abs(colf - medidx) < 0.5).astype(F32)
+        dz = d_D * w + d_dist * 2.0 * w * (A_prev - A_suf) + d_med * selected
+
+        wdw = w * dw
+        S_after = S + jax.lax.dot(wdw, M_sufs, preferred_element_type=F32)
+        live = w > 0.0
+        dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
+
+        op = it["op"]
+        exp_half = jnp.where(op > 0, alpha / jnp.maximum(op, 1e-12), 0.0)
+        gate = it["not_clamped"] & live
+        dop_pg = jnp.where(gate, exp_half * dalpha, 0.0)
+        drho = jnp.where(gate, -0.5 * alpha * dalpha, 0.0)
+
+        use3d = it["use3d"]
+        du = jnp.where(use3d, 2.0 * u * drho, 0.0) + dz * M3x
+        dv = jnp.where(use3d, 2.0 * v * drho, 0.0) + dz * M3y
+        ddx = jnp.where(use3d, 0.0, 2.0 * FILTER_INV_SQUARE * it["dx"] * drho)
+        ddy = jnp.where(use3d, 0.0, 2.0 * FILTER_INV_SQUARE * it["dy"] * drho)
+
+        kzs = it["kzs"]
+        kz_gate = it["kz_ok"].astype(F32)
+        dkx = du / kzs
+        dky = dv / kzs
+        dkz = -(u * du + v * dv) / kzs * kz_gate
+        hux, huy, huz = it["hu"]
+        hvx, hvy, hvz = it["hv"]
+        # k = hu x hv: d_hu = hv x dk, d_hv = dk x hu
+        dhux = hvy * dkz - hvz * dky
+        dhuy = hvz * dkx - hvx * dkz
+        dhuz = hvx * dky - hvy * dkx
+        dhvx = dky * huz - dkz * huy
+        dhvy = dkz * hux - dkx * huz
+        dhvz = dkx * huy - dky * hux
+
+        def rsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)           # (1, G)
+
+        gM1 = [-rsum(dhux), -rsum(dhuy), -rsum(dhuz)]
+        gM2 = [-rsum(dhvx), -rsum(dhvy), -rsum(dhvz)]
+        gM3 = [rsum(px * dhux + py * dhvx + dz * u),
+               rsum(px * dhuy + py * dhvy + dz * v),
+               rsum(px * dhuz + py * dhvz + dz)]
+        gmx = -rsum(ddx)
+        gmy = -rsum(ddy)
+        gop = rsum(dop_pg)
+        gcd = jax.lax.dot(go[:], w, preferred_element_type=F32)  # (24, G)
+        zero = jnp.zeros((1, G), F32)
+
+        @pl.when(k >= 2)
+        def _():
+            wdma(i + 2, slot).wait()
+
+        gbuf[slot] = jnp.concatenate(
+            gM1 + gM2 + gM3 + [gmx, gmy, gop,
+                               gcd[12:13], gcd[13:14], gcd[14:15],
+                               gcd[15:16], gcd[16:17], gcd[17:18],
+                               zero, zero, zero, zero, zero, zero], axis=0)
+        wdma(i, slot).start()
+
+        S = S + jnp.sum(wdw, axis=1, keepdims=True)
+        logT_after = logT_after - jnp.sum(lam, axis=1, keepdims=True)
+        A_suf_c = A_suf_c + jnp.sum(w, axis=1, keepdims=True)
+        D_suf_c = D_suf_c + jnp.sum(wz, axis=1, keepdims=True)
+        return S, logT_after, A_suf_c, D_suf_c
+
+    z1 = jnp.zeros((P, 1), F32)
+    jax.lax.fori_loop(0, n_chunks, body, (d_logT, logT0, z1, z1))
+
+    @pl.when(n_chunks > 0)
+    def _():
+        wdma(0, 0).wait()
+
+    @pl.when(n_chunks > 1)
+    def _():
+        wdma(1, 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "interpret"))
+def rasterize2d_bwd(inst_data, tile_starts, d_acc, d_aux, aux,
+                    n_tiles_x: int, n_tiles_y: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Returns per-instance grads (24, CAP+G) in the field-row layout."""
+    n_tiles = n_tiles_x * n_tiles_y
+    cap = inst_data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, INST_DIM, G), F32),   # instance chunks
+            pltpu.VMEM((INST_DIM, P), F32),      # d_acc frame
+            pltpu.VMEM((AUX_DIM, P), F32),       # d_aux frame
+            pltpu.VMEM((AUX_DIM, P), F32),       # saved aux frame
+            pltpu.VMEM((2, INST_DIM, G), F32),   # grad write buffers
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, n_tiles_x=n_tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((INST_DIM, cap), F32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, inst_data, d_acc, d_aux, aux)

@@ -45,23 +45,25 @@ from horizongs_tpu.ops.reference import _sh_colors
 N_FIELDS = 10
 
 
-def _assemble_inst(fields: jnp.ndarray, inst: TileInstances) -> jnp.ndarray:
-    """(N, 10) fields -> (16, CAP+G) transposed SoA instance columns
-    (row 10 = validity flag)."""
+def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
+                   inst_dim: int = INST_DIM) -> jnp.ndarray:
+    """(N, F) fields -> (inst_dim, CAP+G) transposed SoA instance columns
+    (row F = validity flag)."""
     cap = inst.gauss_id.shape[0]
-    gathered = fields[inst.gauss_id]                      # (CAP, 10)
+    n_fields = fields.shape[1]
+    gathered = fields[inst.gauss_id]                      # (CAP, F)
     one = inst.valid.astype(jnp.float32)[:, None]
     gathered = jnp.where(one > 0, gathered, 0.0)
     packed = jnp.concatenate(
-        [gathered, one, jnp.zeros((cap, INST_DIM - N_FIELDS - 1))], axis=-1)
+        [gathered, one, jnp.zeros((cap, inst_dim - n_fields - 1))], axis=-1)
     packed = jnp.concatenate(
-        [packed, jnp.zeros((G, INST_DIM), packed.dtype)], axis=0)
-    return packed.T                                        # (16, CAP+G)
+        [packed, jnp.zeros((G, inst_dim), packed.dtype)], axis=0)
+    return packed.T                                        # (inst_dim, CAP+G)
 
 
-def _instance_grads_to_fields(ginst: jnp.ndarray,
-                              inst: TileInstances) -> jnp.ndarray:
-    """(CAP+G, 16) instance grads -> (N, 10) per-gaussian grads.
+def _instance_grads_to_fields(ginst: jnp.ndarray, inst: TileInstances,
+                              n_fields: int = N_FIELDS) -> jnp.ndarray:
+    """(inst_dim, CAP+G) instance grads -> (N, F) per-gaussian grads.
 
     Un-sort with the precomputed inverse permutation (gather), then
     reduce each gaussian's contiguous pre-sort slot range with a cumsum
@@ -69,12 +71,12 @@ def _instance_grads_to_fields(ginst: jnp.ndarray,
     instances overflowed the cap — ranges are clipped accordingly."""
     cap = inst.gauss_id.shape[0]
     n_slots = inst.inv_perm.shape[0]
-    gu = ginst[:N_FIELDS, :cap].T[inst.inv_perm]           # pre-sort slot order
+    gu = ginst[:n_fields, :cap].T[inst.inv_perm]           # pre-sort slot order
     csum = jnp.cumsum(gu, axis=0)
-    csum = jnp.concatenate([jnp.zeros((1, N_FIELDS)), csum], axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, n_fields)), csum], axis=0)
     ends = jnp.clip(inst.gauss_offsets, 0, n_slots)
     starts = jnp.clip(inst.gauss_offsets - inst.gauss_cover, 0, n_slots)
-    return csum[ends] - csum[starts]                       # (N, 10)
+    return csum[ends] - csum[starts]                       # (N, F)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -170,3 +172,118 @@ def rasterize_pallas_3dgs(
             "conics": proj.conics, "n_instances": inst.n_instances,
             "n_dropped": inst.n_dropped}
     return render, alphas, info
+
+
+# ---------------------------------------------------------------------------
+# 2DGS
+# ---------------------------------------------------------------------------
+
+N_FIELDS_2D = 18   # M1(3) M2(3) M3(3) mx my op rgb(3) normal(3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _raster2d_core(fields, inst: TileInstances,
+                   n_tiles_x: int, n_tiles_y: int, interpret: bool):
+    from horizongs_tpu.ops.pallas.raster2d import (
+        INST_DIM as INST_DIM2, rasterize2d_fwd)
+    inst_data = _assemble_inst(fields, inst, inst_dim=INST_DIM2)
+    return rasterize2d_fwd(inst_data, inst.tile_starts, n_tiles_x,
+                           n_tiles_y, interpret=interpret)
+
+
+def _raster2d_core_fwd(fields, inst, n_tiles_x, n_tiles_y, interpret):
+    out = _raster2d_core(fields, inst, n_tiles_x, n_tiles_y, interpret)
+    acc, aux = out
+    return out, (fields, inst, aux)
+
+
+def _raster2d_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
+    from horizongs_tpu.ops.pallas.raster2d import (
+        INST_DIM as INST_DIM2, rasterize2d_bwd)
+    fields, inst, aux = res
+    d_acc, d_aux = d_out
+    inst_data = _assemble_inst(fields, inst, inst_dim=INST_DIM2)
+    ginst = rasterize2d_bwd(inst_data, inst.tile_starts, d_acc, d_aux, aux,
+                            n_tiles_x, n_tiles_y, interpret=interpret)
+    d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
+    return (_instance_grads_to_fields(ginst, inst, n_fields=N_FIELDS_2D),
+            d_inst)
+
+
+_raster2d_core.defvjp(_raster2d_core_fwd, _raster2d_core_bwd)
+
+
+def rasterize_pallas_2dgs(
+    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
+    opacities: jnp.ndarray, colors: jnp.ndarray,
+    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
+    background: jnp.ndarray, sh_degree: Optional[int] = None,
+    render_mode: str = "RGB",
+    means2d_override: Optional[jnp.ndarray] = None,
+    cap: Optional[int] = None, interpret: bool = False,
+):
+    """Pallas-backed 2DGS rasterization. Output tuple mirrors the dense
+    oracle `render_dense_2dgs` (and gsplat's `rasterization_2dgs`,
+    reference `gaussian_renderer/render.py:55-76`): (render, alphas,
+    normals, normals_from_depth, distort, median_depth, info)."""
+    from horizongs_tpu.ops.pallas.raster2d import (
+        TILE_H as TILE_H2, TILE_W as TILE_W2)
+    from horizongs_tpu.ops.projection import project_2dgs
+    from horizongs_tpu.ops.reference import depth_to_normals
+
+    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
+        raise ValueError(f"Unknown render_mode: {render_mode}")
+    N = means.shape[0]
+    grid = _make_grid(width, height, TILE_W2, TILE_H2)
+    cap = cap if cap is not None else max(4 * N, G)
+    cap = -(-cap // G) * G
+
+    proj = project_2dgs(means, quats, scales, viewmat, K, width, height)
+    means2d = proj.means2d if means2d_override is None else means2d_override
+    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
+    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+
+    radii = jnp.where(opacities >= 1.0 / 255.0, proj.radii, 0.0)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
+                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
+                                TILE_W2, TILE_H2, cap)
+    inst = align_tile_segments(inst, grid.n_tiles, align=G)
+
+    M = proj.transforms                                    # (N, 3, 3)
+    fields = jnp.concatenate([
+        M[:, 0, :], M[:, 1, :], M[:, 2, :], means2d,
+        opacities[:, None], rgb, proj.normals,
+    ], axis=-1)                                            # (N, 18)
+
+    acc, aux = _raster2d_core(fields, inst, grid.n_tiles_x, grid.n_tiles_y,
+                              interpret)
+
+    color_t = jnp.swapaxes(acc[:, 12:15, :], 1, 2)         # (n_tiles, P, 3)
+    normal_t = jnp.swapaxes(acc[:, 15:18, :], 1, 2)
+    alpha_t = jnp.swapaxes(acc[:, 18:19, :], 1, 2)
+    logT_t = jnp.swapaxes(aux[:, 0:1, :], 1, 2)
+    depth_t = jnp.swapaxes(aux[:, 1:2, :], 1, 2)
+    dist_t = jnp.swapaxes(aux[:, 2:3, :], 1, 2)
+    med_t = jnp.swapaxes(aux[:, 3:4, :], 1, 2)
+    T_final = jnp.exp(logT_t)
+
+    render = _tiles_to_image(color_t + T_final * background[None, None, :],
+                             grid, height, width)
+    alphas = _tiles_to_image(alpha_t, grid, height, width)
+    normals = _tiles_to_image(normal_t, grid, height, width)
+    distort = _tiles_to_image(dist_t, grid, height, width)
+    median = _tiles_to_image(med_t, grid, height, width)
+
+    if render_mode == "RGB+D":
+        depth_img = _tiles_to_image(depth_t, grid, height, width)
+        render = jnp.concatenate([render, depth_img], axis=-1)
+    elif render_mode == "RGB+ED":
+        ed = depth_t / jnp.clip(alpha_t, 1e-10, None)
+        depth_img = _tiles_to_image(ed, grid, height, width)
+        render = jnp.concatenate([render, depth_img], axis=-1)
+
+    normals_from_depth = depth_to_normals(median[..., 0], K)
+
+    info = {"radii": proj.radii, "means2d": means2d, "depths": proj.depths,
+            "n_instances": inst.n_instances, "n_dropped": inst.n_dropped}
+    return render, alphas, normals, normals_from_depth, distort, median, info

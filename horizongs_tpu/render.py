@@ -122,13 +122,17 @@ def render(cam: Camera,
                 means2d_override=probe, interpret=interp)
             extras = {}
         else:
-            # 2DGS has no Pallas kernel yet — XLA scan backend
-            from horizongs_tpu.ops.raster import render_tiled
-            out, alphas, info, extras = render_tiled(
-                cfg.gs_attr, dec.means, dec.quats, dec.scales,
-                dec.opacities, colors, cam.viewmat, cam.K, cam.width,
-                cam.height, background, sh_degree=sh_degree,
-                render_mode=cfg.render_mode, means2d_override=probe)
+            from horizongs_tpu.ops.raster_pallas import rasterize_pallas_2dgs
+            (out, alphas, normals, normals_fd, distort, median, info) = \
+                rasterize_pallas_2dgs(
+                    dec.means, dec.quats, dec.scales, dec.opacities, colors,
+                    cam.viewmat, cam.K, cam.width, cam.height, background,
+                    sh_degree=sh_degree, render_mode=cfg.render_mode,
+                    means2d_override=probe, interpret=interp)
+            extras = {"render_normals": normals,
+                      "render_normals_from_depth": normals_fd,
+                      "render_distort": distort,
+                      "render_median_depth": median}
     else:
         raise ValueError(f"Unknown rasterizer: {rasterizer}")
 
