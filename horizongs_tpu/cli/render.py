@@ -17,6 +17,10 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--explicit", action="store_true")
     parser.add_argument("--rasterizer", default="auto")
+    parser.add_argument("--path_video", action="store_true",
+                        help="render an elliptical fly-through + video "
+                        "(reference utils/render_utils.py path)")
+    parser.add_argument("--path_frames", type=int, default=120)
     args = parser.parse_args(argv)
 
     from horizongs_tpu.cli.common import get_logger, load_config
@@ -44,6 +48,21 @@ def main(argv=None):
         fps = len(times) / max(sum(times), 1e-9)
         logger.info(f"{name}: {fps:.2f} views/s, "
                     f"mean visible GS {sum(counts)/len(counts):.0f}")
+
+    if args.path_video:
+        import numpy as np
+        from horizongs_tpu.utils.render_paths import (
+            generate_path_cameras, write_video)
+        path_cams = generate_path_cameras(scene.get_train_cameras(),
+                                          n_frames=args.path_frames)
+        logger.info(f"Rendering fly-through ({len(path_cams)} frames)")
+        renders, *_ = render_set(
+            args.model_path, "path", scene.loaded_iter, path_cams,
+            scene.cfg, scene, state, rasterizer=rasterizer,
+            explicit=args.explicit, save_images=False)
+        out = write_video([np.asarray(r)[..., :3] for r in renders],
+                          os.path.join(args.model_path, "path.mp4"))
+        logger.info(f"fly-through written to {out}")
     return 0
 
 

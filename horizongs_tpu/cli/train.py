@@ -19,12 +19,19 @@ def main(argv=None):
     parser.add_argument("--save_iterations", type=int, nargs="*", default=None)
     parser.add_argument("--checkpoint_iterations", type=int, nargs="*",
                         default=[])
+    parser.add_argument("--start_checkpoint", default=None,
+                        help="chkpnt{N}.npz to resume from (the reference's "
+                        "--start_checkpoint, whose capture/restore is "
+                        "broken — ours round-trips)")
     parser.add_argument("--rasterizer", default="auto",
                         choices=["auto", "pallas", "tiled", "dense",
                                  "pallas_interpret"])
     parser.add_argument("--skip_eval", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--viewer_port", type=int, default=None,
+                        help="poll a SIBR remote-GUI client during training "
+                        "(reference network_gui, shipped disabled there)")
     args = parser.parse_args(argv)
 
     from horizongs_tpu.cli.common import get_logger, load_config
@@ -41,6 +48,17 @@ def main(argv=None):
     shutil.copy(args.config, os.path.join(lp.model_path, "config.yaml"))
     with open(os.path.join(lp.model_path, "cfg_args"), "w") as f:
         f.write(str(vars(lp)))
+    # source snapshot for post-hoc debugging (`saveRuntimeCode`,
+    # reference `train.py:60-81,735`)
+    try:
+        import horizongs_tpu
+        pkg_dir = os.path.dirname(horizongs_tpu.__file__)
+        dst = os.path.join(lp.model_path, "backup", "horizongs_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(pkg_dir, dst,
+                            ignore=shutil.ignore_patterns("__pycache__"))
+    except Exception as e:
+        logger.info(f"source snapshot skipped: {e}")
 
     wandb_run = None
     if args.wandb:
@@ -55,13 +73,22 @@ def main(argv=None):
                   seed=args.seed)
     trainer = Trainer(scene.cfg, op, pp, scene, logger=logger,
                       rasterizer=args.rasterizer, seed=args.seed,
-                      wandb_run=wandb_run)
+                      wandb_run=wandb_run, viewer_port=args.viewer_port)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])
     save_iters.add(iterations)
+    first_iter = 1
+    if args.start_checkpoint:
+        from horizongs_tpu.io.checkpoints import load_train_checkpoint
+        trainer.state, ckpt_it = load_train_checkpoint(
+            args.start_checkpoint, trainer.state)
+        first_iter = ckpt_it + 1
+        logger.info(f"Resumed from {args.start_checkpoint} "
+                    f"at iteration {ckpt_it}")
     trainer.train(iterations=iterations, save_iterations=save_iters,
-                  checkpoint_iterations=set(args.checkpoint_iterations))
+                  checkpoint_iterations=set(args.checkpoint_iterations),
+                  first_iter=first_iter)
 
     if not args.skip_eval:
         logger.info("Rendering + evaluating test set")

@@ -105,6 +105,17 @@ class Camera(NamedTuple):
         return self.K[1, 2]
 
 
+def camera_from_matrices(ref: Camera, viewmat: np.ndarray,
+                         uid: int = 0) -> Camera:
+    """A novel-view camera reusing `ref`'s intrinsics (fly-through paths,
+    reference `render_utils.py:160-181` MiniCam construction)."""
+    cam_center = np.linalg.inv(viewmat)[:3, 3].astype(np.float32)
+    return ref._replace(viewmat=jnp.asarray(viewmat, dtype=jnp.float32),
+                        cam_center=jnp.asarray(cam_center),
+                        image=None, alpha_mask=None, invdepth=None,
+                        depth_mask=None, uid=uid)
+
+
 def make_camera(R: np.ndarray, t: np.ndarray, fovx: float, fovy: float,
                 width: int, height: int,
                 translate: np.ndarray | None = None, scale: float = 1.0,

@@ -191,3 +191,37 @@ def write_images_binary(images: Dict[int, ColmapImage], path: str) -> None:
             for j in range(n):
                 f.write(struct.pack("<ddq", im.xys[j, 0], im.xys[j, 1],
                                     int(im.point3D_ids[j])))
+
+
+def write_points3D_binary(xyz: np.ndarray, rgb: np.ndarray, err: np.ndarray,
+                          path: str) -> None:
+    """Write a minimal points3D.bin (no tracks), the inverse of
+    `read_points3D_binary` (reference `preprocess/read_write_model.py`
+    write_points3D_binary semantics)."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    rgb = np.asarray(rgb)
+    if rgb.size and rgb.max() <= 1.5:
+        rgb = rgb * 255.0
+    rgb = rgb.astype(np.uint8)
+    err = np.asarray(err, dtype=np.float64)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", xyz.shape[0]))
+        for i in range(xyz.shape[0]):
+            f.write(struct.pack("<Q", i + 1))
+            f.write(struct.pack("<ddd", *xyz[i]))
+            f.write(struct.pack("<BBB", *rgb[i]))
+            f.write(struct.pack("<d", err[i]))
+            f.write(struct.pack("<Q", 0))          # empty track
+
+
+def write_model(cams: Dict[int, ColmapCamera],
+                images: Dict[int, ColmapImage],
+                xyz: np.ndarray, rgb: np.ndarray, err: np.ndarray,
+                out_dir: str) -> None:
+    """Write a full binary COLMAP sparse model directory."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    write_cameras_binary(cams, os.path.join(out_dir, "cameras.bin"))
+    write_images_binary(images, os.path.join(out_dir, "images.bin"))
+    write_points3D_binary(xyz, rgb, err, os.path.join(out_dir,
+                                                      "points3D.bin"))

@@ -10,6 +10,8 @@ Port of the reference trainer semantics (`train.py:83-285`):
     stats clean at update_until (`train.py:265-273`)
   * SH degree bump every 1000 iterations (`update_learning_rate` tail)
   * periodic save / checkpoint / vis dumps
+  * optional in-train remote-viewer poll (`train.py:113-127`; the
+    reference ships this disabled — ours works, gated on `viewer_port`)
 
 Cameras are grouped by resolution; each (H, W, capacity, sh_degree)
 combination compiles one step.
@@ -41,7 +43,7 @@ def pick_rasterizer(requested: str = "auto") -> str:
 class Trainer:
     def __init__(self, cfg: ModelConfig, op, pp, scene, logger=None,
                  rasterizer: str = "auto", seed: int = 0,
-                 wandb_run=None):
+                 wandb_run=None, viewer_port: Optional[int] = None):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -56,6 +58,11 @@ class Trainer:
         self.active_sh_degree = 0 if cfg.max_sh_degree is not None else None
         if scene.stage == "fine":
             self.active_sh_degree = cfg.max_sh_degree
+        self.viewer = None
+        if viewer_port is not None:
+            from horizongs_tpu.viewer.server import ViewerServer
+            self.viewer = ViewerServer(port=viewer_port)
+            self.log(f"viewer listening on :{self.viewer.bound_port}")
 
     def _step_fn(self, H, W):
         key = (H, W, self.state.params.anchor.shape[0],
@@ -95,6 +102,45 @@ class Trainer:
             stack = stacks["all"]
         return stack.pop(self.rng.randint(0, len(stack) - 1))
 
+    def _dump_vis(self, cam, it: int) -> None:
+        """Side-by-side gt | render (| depth | normals) grid."""
+        from horizongs_tpu.render import render as render_fn
+        from horizongs_tpu.train.evaluate import save_image
+        from horizongs_tpu.train.optim import mlps_from_params
+        from horizongs_tpu.utils.viz import image_grid, vis_depth, vis_normal
+        pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
+                        self.state.anchor_state(), self.scene.background,
+                        add_prefilter=self.pp.add_prefilter,
+                        active_sh_degree=self.active_sh_degree,
+                        rasterizer=self.rasterizer)
+        panels = [np.asarray(cam.image), np.asarray(pkg["render"])]
+        if pkg.get("render_depth") is not None:
+            panels.append(vis_depth(np.asarray(pkg["render_depth"])[..., 0]))
+        if pkg.get("render_normals") is not None:
+            panels.append(vis_normal(np.asarray(pkg["render_normals"])))
+        out_dir = os.path.join(self.scene.model_path, "vis")
+        os.makedirs(out_dir, exist_ok=True)
+        save_image(os.path.join(out_dir, f"iter_{it:06d}.png"),
+                   image_grid(panels, cols=2))
+
+    def _viewer_render(self, cam_d: dict) -> np.ndarray:
+        """Render callback for the in-train viewer poll."""
+        import jax.numpy as jnp
+        from horizongs_tpu.core.cameras import Camera
+        from horizongs_tpu.render import render as render_fn
+        from horizongs_tpu.train.optim import mlps_from_params
+        cam = Camera(viewmat=jnp.asarray(cam_d["viewmat"]),
+                     K=jnp.asarray(cam_d["K"]),
+                     width=cam_d["width"], height=cam_d["height"],
+                     cam_center=jnp.asarray(
+                         np.linalg.inv(cam_d["viewmat"])[:3, 3]))
+        pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
+                        self.state.anchor_state(), self.scene.background,
+                        add_prefilter=self.pp.add_prefilter,
+                        active_sh_degree=self.active_sh_degree,
+                        rasterizer=self.rasterizer)
+        return np.asarray(pkg["render"])
+
     def train(self, iterations: Optional[int] = None,
               save_iterations=(), checkpoint_iterations=(),
               first_iter: int = 1, progress_every: int = 50):
@@ -107,6 +153,9 @@ class Trainer:
         t_start = time.time()
 
         for it in range(first_iter, iterations + 1):
+            if self.viewer is not None:
+                self.viewer.poll(self._viewer_render, self.scene.model_path)
+
             # SH degree progression (`update_learning_rate`, every 1000)
             if (self.active_sh_degree is not None and it % 1000 == 0
                     and self.scene.stage != "fine"
@@ -153,6 +202,14 @@ class Trainer:
                 if self.scene.base is not None:
                     self.state = roll_back(self.state, self.scene.base, cfg)
                 self.state = clean_stats(self.state, cfg)
+
+            # periodic train-view vis grid (`train.py:230-254`)
+            vis_step = int(getattr(pp, "vis_step", 0) or 0)
+            if vis_step > 0 and it % vis_step == 0:
+                try:
+                    self._dump_vis(cam, it)
+                except Exception as e:  # vis must never kill training
+                    self.log(f"vis dump failed: {e}")
 
             if it in save_iterations:
                 self.log(f"[ITER {it}] Saving Gaussians")
