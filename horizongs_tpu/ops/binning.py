@@ -11,7 +11,12 @@ instance list with data-parallel primitives only:
   3. one global `lax.sort` on (tile_id, depth) keys
   4. per-tile segments are implicit: rows with equal tile_id are
      contiguous and depth-ordered, exactly the invariant the chunked
-     compositor needs.
+     compositor needs. Segments are NOT re-packed to G-aligned starts:
+     the Pallas kernels read each segment from the floor-aligned chunk
+     base and mask the leading columns, so the expensive realignment
+     gather pass is unnecessary. The backward kernel writes per-instance
+     gradients to a *separate* G-aligned column layout (`out_starts` /
+     `grad_slot`) so its block DMA writes stay disjoint per tile.
 
 Everything is O(CAP log CAP) in XLA ops with static shapes — recompiles
 only when CAP changes.
@@ -22,6 +27,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+GRAD_ALIGN = 128    # == raster kernels' chunk size G
+
+
+def grad_capacity(cap: int, n_tiles: int, align: int = GRAD_ALIGN) -> int:
+    """Static column count of the backward kernel's gradient buffer: each
+    tile's padded span ceil((lead+count)/G)*G costs at most count+2G-2
+    columns, and real-tile counts sum to <= cap."""
+    return cap + 2 * align * n_tiles
 
 
 class TileInstances(NamedTuple):
@@ -37,6 +51,11 @@ class TileInstances(NamedTuple):
     tile_starts: jnp.ndarray  # (n_tiles+1,) int32 segment offsets
     gauss_offsets: jnp.ndarray  # (N,) int32 inclusive cumsum of cover
     gauss_cover: jnp.ndarray    # (N,) int32 tiles covered per gaussian
+    # aligned gradient-output layout (see module docstring)
+    out_starts: jnp.ndarray   # (n_tiles+1,) int32 G-aligned grad columns
+    grad_slot: jnp.ndarray    # (CAP,) int32 slot -> grad buffer column
+    slot_chunk: jnp.ndarray   # (CAP,) int32 chunk index within the tile
+    slot_tile: jnp.ndarray    # (CAP,) int32 owning tile (clipped)
 
 
 def tile_spans(means2d: jnp.ndarray, radii: jnp.ndarray,
@@ -51,6 +70,26 @@ def tile_spans(means2d: jnp.ndarray, radii: jnp.ndarray,
     y0 = jnp.clip(y0, 0, n_tiles_y - 1)
     y1 = jnp.clip(y1, 0, n_tiles_y - 1)
     return x0, x1, y0, y1
+
+
+def cull_radius(radii: jnp.ndarray, opacities: jnp.ndarray,
+                alpha_cutoff: float = 1.0 / 255.0,
+                guard_px: float = 0.0) -> jnp.ndarray:
+    """Opacity-exact cull radius  r * sqrt(2*ln(op/cutoff))/3  (with
+    r = 3*sigma_max): beyond it the splat's alpha is provably below the
+    compositor's cutoff, so binning against this radius (square span AND
+    rect-circle test) is LOSSLESS — the kernel and the dense oracle both
+    zero those contributions anyway. For op > 0.35 this is slightly
+    LARGER than the 3-sigma heuristic (gsplat cuts such tails; we keep
+    them, matching the oracle exactly). `guard_px`: never *shrink* below
+    the geometric radius for splats smaller than this (the 2DGS low-pass
+    bound 2*d^2 >= s^2 needs r >= ~2.2px for the argument to hold)."""
+    s = jnp.sqrt(jnp.clip(2.0 * jnp.log(opacities / alpha_cutoff), 0.0, None))
+    factor = s / 3.0
+    if guard_px > 0:
+        factor = jnp.where(radii >= guard_px, factor,
+                           jnp.maximum(factor, 1.0))
+    return radii * factor
 
 
 def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
@@ -85,22 +124,40 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     g = jnp.cumsum(hist[:cap]).astype(jnp.int32)
     g = jnp.clip(g, 0, N - 1)
     # one stacked gather: separate 1-channel gathers cost ~3ms each on TPU
-    table = jnp.stack([offs, n_cover, x0, y0, wspan, depth_rank], axis=1)
-    got = table[g]                                            # (cap, 6)
-    start = got[:, 0] - got[:, 1]
+    table = jnp.stack([offs.astype(jnp.float32),
+                       n_cover.astype(jnp.float32),
+                       x0.astype(jnp.float32), y0.astype(jnp.float32),
+                       wspan.astype(jnp.float32),
+                       depth_rank.astype(jnp.float32),
+                       means2d[:, 0], means2d[:, 1], radii], axis=1)
+    got = table[g].astype(jnp.float32)                        # (cap, 9)
+    start = got[:, 0].astype(jnp.int32) - got[:, 1].astype(jnp.int32)
     local = slots - start
-    w = jnp.maximum(got[:, 4], 1)
+    w = jnp.maximum(got[:, 4].astype(jnp.int32), 1)
     # vector-divisor int div; local <= max tile coverage (~2k) so exact
     # in f32 with the +0.5 trick
     q = jnp.floor((local.astype(jnp.float32) + 0.5)
                   / w.astype(jnp.float32)).astype(jnp.int32)
-    tx = got[:, 2] + (local - q * w)
-    ty = got[:, 3] + q
+    tx = got[:, 2].astype(jnp.int32) + (local - q * w)
+    ty = got[:, 3].astype(jnp.int32) + q
     valid_slot = slots < total
+    # exact rect-circle test: the square AABB span keeps corner tiles the
+    # splat's cull circle never touches (~21% of candidates). Distance
+    # from the tile rectangle to the projected center vs the cull radius
+    # is exact w.r.t. the alpha cutoff when `radii` comes through
+    # `cull_radius`.
+    mx, my, r = got[:, 6], got[:, 7], got[:, 8]
+    rx0 = (tx * tile_w).astype(jnp.float32)
+    ry0 = (ty * tile_h).astype(jnp.float32)
+    ddx = mx - jnp.clip(mx, rx0, rx0 + tile_w)
+    ddy = my - jnp.clip(my, ry0, ry0 + tile_h)
+    hit = (ddx * ddx + ddy * ddy) <= r * r
+    valid_slot = valid_slot & hit
     tile_id = jnp.where(valid_slot, ty * n_tiles_x + tx, n_tiles)
 
     # fused key: tile in the high bits, depth rank in the low bits
-    key = (tile_id << rank_bits) | jnp.where(valid_slot, got[:, 5], 0)
+    rank_slot = got[:, 5].astype(jnp.int32)
+    key = (tile_id << rank_bits) | jnp.where(valid_slot, rank_slot, 0)
     key_sorted, g_sorted, perm = jax.lax.sort((key, g, slots), num_keys=1)
     tile_sorted = (key_sorted >> rank_bits).astype(jnp.int32)
     valid_sorted = tile_sorted < n_tiles
@@ -114,6 +171,32 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
         jnp.zeros(1, dtype=jnp.int32),
         jnp.cumsum(hist_t[:n_tiles + 1]).astype(jnp.int32)])[:n_tiles + 1]
 
+    # aligned gradient-output layout: tile t's backward chunk i writes its
+    # (INST_DIM, G) grad block at column out_starts[t] + i*G; chunks cover
+    # [base_t, base_t + n_chunks_t*G) of the instance buffer where
+    # base_t = floor(start_t/G)*G, so instance at sorted row r lands at
+    # out_starts[t] + (lead_t + r - start_t).
+    A = GRAD_ALIGN
+    starts_t = tile_starts[:n_tiles]
+    counts_t = tile_starts[1:] - starts_t
+    lead_t = starts_t - (starts_t // A) * A
+    n_chunks_t = jnp.where(counts_t > 0, -(-(lead_t + counts_t) // A), 0)
+    out_starts = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(n_chunks_t * A).astype(jnp.int32)])
+    cap_out = grad_capacity(cap, n_tiles, A)
+
+    t_slot = jnp.clip(tile_id, 0, n_tiles - 1)                 # (cap,)
+    ttab = jnp.stack([out_starts[:n_tiles] + lead_t - starts_t,
+                      out_starts[:n_tiles]], axis=1)
+    tg = ttab[t_slot]                                          # (cap, 2)
+    grad_slot = jnp.clip(tg[:, 0] + inv_perm, 0, cap_out - 1)
+    # invalid slots (overflow or circle-culled) must never pass the
+    # routing live test `slot_chunk < ifin[slot_tile]`
+    slot_chunk = jnp.where(tile_id < n_tiles,
+                           (grad_slot - tg[:, 1]) // A,
+                           jnp.int32(2 ** 30))
+
     return TileInstances(gauss_id=g_sorted, tile_id=tile_sorted,
                          valid=valid_sorted,
                          n_instances=total,
@@ -121,54 +204,8 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
                          inv_perm=inv_perm,
                          tile_starts=tile_starts,
                          gauss_offsets=offs.astype(jnp.int32),
-                         gauss_cover=n_cover.astype(jnp.int32))
-
-
-def align_tile_segments(inst: TileInstances, n_tiles: int,
-                        align: int = 8) -> TileInstances:
-    """Re-pack instances so every tile segment starts at a multiple of
-    `align` rows (Mosaic DMA slices of the packed (CAP, 16) instance
-    buffer must be 8-row aligned). Pure gathers — no scatter.
-
-    The padded capacity is cap + n_tiles*align (static)."""
-    cap = inst.gauss_id.shape[0]
-    counts = inst.tile_starts[1:] - inst.tile_starts[:-1]      # (n_tiles,)
-    aligned = -(-counts // align) * align
-    pstart = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(aligned).astype(jnp.int32)])
-    cap_pad = cap + n_tiles * align
-
-    # padded row p -> tile t(p) = #(pstart[1:] <= p), via histogram+cumsum
-    hist = jnp.zeros(cap_pad + 1, jnp.int32).at[
-        jnp.clip(pstart[1:], 0, cap_pad)].add(1)
-    t_of_p = jnp.cumsum(hist[:cap_pad]).astype(jnp.int32)
-    t_of_p = jnp.clip(t_of_p, 0, n_tiles - 1)
-    ttab = jnp.stack([pstart[:n_tiles], counts,
-                      inst.tile_starts[:n_tiles]], axis=1)
-    tg = ttab[t_of_p]                                          # (cap_pad, 3)
-    r_local = jnp.arange(cap_pad, dtype=jnp.int32) - tg[:, 0]
-    real = r_local < tg[:, 1]
-    src = jnp.clip(tg[:, 2] + r_local, 0, cap - 1)
-
-    stab = jnp.stack([inst.gauss_id, inst.tile_id,
-                      inst.valid.astype(jnp.int32)], axis=1)
-    sg = stab[src]                                             # (cap_pad, 3)
-    gauss_id = jnp.where(real, sg[:, 0], 0)
-    tile_id = jnp.where(real, sg[:, 1], n_tiles)
-    valid = real & (sg[:, 2] > 0)
-
-    # original slot s previously lived at sorted row inv_perm[s]; its new
-    # padded position is pstart[tile(r)] + (r - tile_starts[tile(r)]).
-    r_old = inst.inv_perm
-    t_old = jnp.clip(inst.tile_id[jnp.clip(r_old, 0, cap - 1)], 0, n_tiles - 1)
-    otab = jnp.stack([pstart[:n_tiles], inst.tile_starts[:n_tiles]], axis=1)
-    og = otab[t_old]
-    new_pos = og[:, 0] + (r_old - og[:, 1])
-    inv_perm = jnp.clip(new_pos, 0, cap_pad - 1)
-
-    return TileInstances(gauss_id=gauss_id, tile_id=tile_id, valid=valid,
-                         n_instances=inst.n_instances,
-                         n_dropped=inst.n_dropped,
-                         inv_perm=inv_perm, tile_starts=pstart,
-                         gauss_offsets=inst.gauss_offsets,
-                         gauss_cover=inst.gauss_cover)
+                         gauss_cover=n_cover.astype(jnp.int32),
+                         out_starts=out_starts,
+                         grad_slot=grad_slot,
+                         slot_chunk=slot_chunk,
+                         slot_tile=t_slot)

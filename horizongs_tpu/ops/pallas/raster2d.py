@@ -4,8 +4,8 @@ The TPU equivalent of gsplat's `rasterize_to_pixels_2dgs` CUDA kernel
 pair (reference calls it via `rasterization_2dgs`,
 `gaussian_renderer/render.py:55-76`). Same chunked architecture as the
 3DGS kernel (`raster3d.py`): grid over image tiles, double-buffered DMA
-of depth-sorted G=128-instance chunks, triangular-matmul prefix scans on
-the MXU, per-instance gradients to disjoint columns (no atomics).
+of depth-sorted G=128-instance chunks, exact-f32 lane-scan prefix sums
+on the VPU, per-instance gradients to disjoint columns (no atomics).
 
 Differences from 3DGS:
   * alpha comes from the 2DGS ray-splat intersection: with splat
@@ -31,7 +31,14 @@ Gradient rows mirror the field rows 0..17.
 
 Aux output rows (AUX_DIM=8):
   0 logT_final, 1 D (sum w*z), 2 distortion, 3 median depth,
-  4 median instance column (-1 if none), 5 A (sum w), 6-7 pad.
+  4 median instance column (-1 if none), 5 A (sum w),
+  6 i_fin (chunks composited before saturation; the backward starts its
+  reverse walk there), 7 pad.
+
+Like the 3DGS pair, tile segments are read from floor-aligned chunk
+bases with the leading columns masked (no realignment pass), and the
+backward writes gradients to the G-aligned `binning.out_starts` column
+layout, skipping chunks the forward never composited.
 """
 from __future__ import annotations
 
@@ -42,6 +49,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from horizongs_tpu.ops.pallas.raster3d import (
+    dot_f32, lane_prefix_excl, lane_suffix_incl)
 
 INST_DIM = 24
 AUX_DIM = 8
@@ -58,24 +68,7 @@ KZ_EPS = 1e-9
 Z_MIN = 0.01
 
 F32 = jnp.float32
-
-
-def _excl_prefix_mat():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r < c).astype(F32)
-
-
-def _incl_suffix_mat():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r >= c).astype(F32)
-
-
-def _strict_suffix_mat():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r > c).astype(F32)
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _pixel_coords(tile_id, n_tiles_x):
@@ -121,8 +114,10 @@ def _intersect(buf, px, py, col0, count):
 
     raw = op * jnp.exp(-0.5 * rho)
     alpha = jnp.minimum(raw, MAX_ALPHA)
+    # col0 may be negative (floor-aligned base: col0 = i*G - lead);
+    # columns with col < 0 belong to the previous tile's segment
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-    valid = (col < count) & (one > 0.5)
+    valid = (col >= 0) & (col < count) & (one > 0.5)
     alpha = jnp.where((alpha >= ALPHA_CUTOFF) & valid & (z > Z_MIN),
                       alpha, 0.0)
     lam = jnp.log1p(-alpha)
@@ -142,13 +137,14 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
-    n_chunks = pl.cdiv(count, G)
+    base = (start // G) * G            # floor-aligned chunk base
+    lead = start - base
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
 
     px, py = _pixel_coords(t, n_tiles_x)
-    M_excl = _excl_prefix_mat()
 
     def dma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(base + i * G, G)
         return pltpu.make_async_copy(
             inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
 
@@ -171,30 +167,27 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
 
         dma(i, slot).wait()
         chunk = buf[slot]
-        it = _intersect(chunk, px, py, i * G, count)
+        it = _intersect(chunk, px, py, i * G - lead, count)
         alpha, lam, z = it["alpha"], it["lam"], it["z"]
 
-        lam_excl = jax.lax.dot(lam, M_excl, preferred_element_type=F32)
-        logT_tot = logT + lam_excl
+        logT_tot = logT + lane_prefix_excl(lam)
         w = jnp.where(logT_tot > LOG_T_EPS, alpha * jnp.exp(logT_tot), 0.0)
         wz = w * z
 
-        acc = acc + jax.lax.dot_general(
-            chunk, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)                        # (24, P)
+        acc = acc + dot_f32(chunk, w, (((1,), (1,)), ((), ())))  # (24, P)
 
         # distortion: 2 * sum w * (z * A_prev - D_prev), streaming
-        A_prev = A + jax.lax.dot(w, M_excl, preferred_element_type=F32)
-        D_prev = D + jax.lax.dot(wz, M_excl, preferred_element_type=F32)
+        A_prev = A + lane_prefix_excl(w)
+        D_prev = D + lane_prefix_excl(wz)
         dist = dist + 2.0 * jnp.sum(w * (z * A_prev - D_prev), axis=1,
                                     keepdims=True)
 
         # median: first instance where T_after < 0.5 (w > 0)
         T_after = jnp.exp(logT_tot + lam)
         crossed = ((T_after < 0.5) & (w > 0.0)).astype(F32)
-        prefix = jax.lax.dot(crossed, M_excl, preferred_element_type=F32)
+        prefix = lane_prefix_excl(crossed)
         first = crossed * (prefix < 0.5) * (medidx < -0.5)     # (P, G)
-        colf = (i * G + jax.lax.broadcasted_iota(
+        colf = (i * G - lead + jax.lax.broadcasted_iota(
             jnp.int32, (1, G), 1)).astype(F32)
         med = med + jnp.sum(first * z, axis=1, keepdims=True)
         medidx = medidx + jnp.sum(first * (colf + 1.0), axis=1,
@@ -217,7 +210,9 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
 
     acc_ref[0] = acc
     aux = jnp.concatenate(
-        [logT, D, dist, med, medidx, A, jnp.zeros((P, 2), F32)], axis=1)
+        [logT, D, dist, med, medidx, A,
+         jnp.full((P, 1), i_fin.astype(F32)), jnp.zeros((P, 1), F32)],
+        axis=1)
     aux_ref[0] = jnp.swapaxes(aux, 0, 1)                       # (8, P)
 
 
@@ -256,13 +251,16 @@ def rasterize2d_fwd(inst_data, tile_starts, n_tiles_x: int, n_tiles_y: int,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
-                ginst_ref, buf, go, gaux, saux, gbuf, sem, sem_go, wsem,
-                *, n_tiles_x):
+def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
+                daux_hbm, aux_hbm, ginst_ref, buf, go, gaux, saux, gbuf,
+                sem, sem_go, wsem, *, n_tiles_x):
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
-    n_chunks = pl.cdiv(count, G)
+    base = (start // G) * G
+    lead = start - base
+    out0 = out_starts[t]
+    n_live = ifin[t]      # chunks the forward actually composited
 
     cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
     cp_go.start()
@@ -275,8 +273,6 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
     cp_sa.wait()
 
     px, py = _pixel_coords(t, n_tiles_x)
-    M_sufi = _incl_suffix_mat()
-    M_sufs = _strict_suffix_mat()
 
     def row(ref, r):
         return jnp.swapaxes(ref[r:r + 1, :], 0, 1)             # (P, 1)
@@ -291,22 +287,22 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
     A_total = row(saux, 5)
 
     def dma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(base + i * G, G)
         return pltpu.make_async_copy(
             inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
 
     def wdma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(out0 + i * G, G)
         return pltpu.make_async_copy(
             gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_live > 0)
     def _():
-        dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+        dma(n_live - 1, jax.lax.rem(n_live - 1, 2)).start()
 
     def body(k, carry):
         S, logT_after, A_suf_c, D_suf_c = carry
-        i = n_chunks - 1 - k
+        i = n_live - 1 - k
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -315,37 +311,35 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
 
         dma(i, slot).wait()
         chunk = buf[slot]
-        it = _intersect(chunk, px, py, i * G, count)
+        it = _intersect(chunk, px, py, i * G - lead, count)
         alpha, lam, z = it["alpha"], it["lam"], it["z"]
         u, v = it["u"], it["v"]
         M3x, M3y, M3z = it["M3"]
 
-        suf_incl = jax.lax.dot(lam, M_sufi, preferred_element_type=F32)
-        logT_tot = logT_after - suf_incl
+        logT_tot = logT_after - lane_suffix_incl(lam)
         T = jnp.exp(logT_tot)
         w = jnp.where(logT_tot > LOG_T_EPS, alpha * T, 0.0)
         wz = w * z
 
-        A_suf = A_suf_c + jax.lax.dot(w, M_sufs, preferred_element_type=F32)
-        D_suf = D_suf_c + jax.lax.dot(wz, M_sufs, preferred_element_type=F32)
+        A_suf = A_suf_c + lane_suffix_incl(w) - w      # strict suffixes
+        D_suf = D_suf_c + lane_suffix_incl(wz) - wz
         A_prev = A_total - A_suf - w
         D_prev = D_total - D_suf - wz
 
         # total dL/dw: fields (color/normal/alpha) + depth + distortion
-        dw = jax.lax.dot_general(go[:], chunk, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=F32)
+        dw = dot_f32(go[:], chunk, (((0,), (0,)), ((), ())))
         dw = dw + d_D * z
         dw = dw + d_dist * 2.0 * ((z * A_prev - D_prev)
                                   + (D_suf - z * A_suf))
         # dL/dz: depth + distortion + median selection
         # fwd stores medidx = -1 + (colf + 1) = colf of the crossing column
-        colf = (i * G + jax.lax.broadcasted_iota(
+        colf = (i * G - lead + jax.lax.broadcasted_iota(
             jnp.int32, (1, G), 1)).astype(F32)
         selected = (jnp.abs(colf - medidx) < 0.5).astype(F32)
         dz = d_D * w + d_dist * 2.0 * w * (A_prev - A_suf) + d_med * selected
 
         wdw = w * dw
-        S_after = S + jax.lax.dot(wdw, M_sufs, preferred_element_type=F32)
+        S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
         dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
 
@@ -387,7 +381,7 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
         gmx = -rsum(ddx)
         gmy = -rsum(ddy)
         gop = rsum(dop_pg)
-        gcd = jax.lax.dot(go[:], w, preferred_element_type=F32)  # (24, G)
+        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))        # (24, G)
         zero = jnp.zeros((1, G), F32)
 
         @pl.when(k >= 2)
@@ -408,27 +402,31 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, daux_hbm, aux_hbm,
         return S, logT_after, A_suf_c, D_suf_c
 
     z1 = jnp.zeros((P, 1), F32)
-    jax.lax.fori_loop(0, n_chunks, body, (d_logT, logT0, z1, z1))
+    jax.lax.fori_loop(0, n_live, body, (d_logT, logT0, z1, z1))
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_live > 0)
     def _():
         wdma(0, 0).wait()
 
-    @pl.when(n_chunks > 1)
+    @pl.when(n_live > 1)
     def _():
         wdma(1, 1).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
                                              "interpret"))
-def rasterize2d_bwd(inst_data, tile_starts, d_acc, d_aux, aux,
-                    n_tiles_x: int, n_tiles_y: int,
+def rasterize2d_bwd(inst_data, tile_starts, out_starts, ifin, d_acc,
+                    d_aux, aux, n_tiles_x: int, n_tiles_y: int,
                     interpret: bool = False) -> jnp.ndarray:
-    """Returns per-instance grads (24, CAP+G) in the field-row layout."""
+    """Returns per-instance grads (24, grad_capacity(CAP)) in the
+    `binning.grad_slot` column layout; columns of never-composited
+    chunks are uninitialized — mask them when routing."""
+    from horizongs_tpu.ops.binning import grad_capacity
     n_tiles = n_tiles_x * n_tiles_y
-    cap = inst_data.shape[1]
+    cap = inst_data.shape[1] - G
+    cap_out = grad_capacity(cap, n_tiles, G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -449,7 +447,7 @@ def rasterize2d_bwd(inst_data, tile_starts, d_acc, d_aux, aux,
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n_tiles_x=n_tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((INST_DIM, cap), F32),
+        out_shape=jax.ShapeDtypeStruct((INST_DIM, cap_out), F32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, inst_data, d_acc, d_aux, aux)
+    )(tile_starts, out_starts, ifin, inst_data, d_acc, d_aux, aux)

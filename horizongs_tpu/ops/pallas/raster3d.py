@@ -7,26 +7,39 @@ The hot path of the framework — the TPU equivalent of gsplat's
     ~10us fixed cost per grid step, so tiles are big; each step loops
     over the tile's depth-sorted instance segment in chunks of G=128
     gaussians with double-buffered DMA from HBM (segment offsets arrive
-    via scalar prefetch; segments are G-aligned by
-    `binning.align_tile_segments` so every slice is lane-aligned).
+    via scalar prefetch). Segments are NOT pre-aligned: each tile reads
+    from the floor-aligned base floor(start/G)*G and masks the `lead`
+    columns belonging to the previous tile, which keeps every DMA slice
+    lane-aligned without the realignment gather pass.
   * instance data is a transposed SoA (16 field rows x CAP columns);
     chunk math is laid out (P pixels x G instances): alpha is VPU
     elementwise from broadcast field rows, the in-chunk transmittance
-    prefix is one (P,G)@(G,G) triangular matmul on the MXU, and
-    accumulation is fields (16,G) @ w^T -> the (16,P) output block.
-    Row k of the output accumulates sum_i w_i * field_k(i): rows 6-8 are
-    color, 9 depth, 10 (the constant one) alpha.
+    prefix is a log-step lane scan (7 masked rotate-adds on the VPU —
+    exact f32, unlike a default-precision MXU matmul which rounds the
+    operands to bf16), and accumulation is fields (16,G) @ w^T -> the
+    (16,P) output block, run at HIGHEST dot precision for parity with
+    the dense oracle. Row k of the output accumulates
+    sum_i w_i * field_k(i): rows 6-8 are color, 9 depth, 10 (the
+    constant one) alpha.
   * forward early-exits a tile once every pixel is saturated
-    (log T < log 1e-4), the analog of gsplat's per-warp done flag.
+    (log T < log 1e-4), the analog of gsplat's per-warp done flag. The
+    number of chunks actually composited (`i_fin`) is emitted per tile
+    (row 1 of the logT output) so the backward starts its reverse walk
+    exactly where the forward stopped — both a correctness requirement
+    (the saved final logT corresponds to chunk i_fin-1, not n_chunks-1)
+    and the big backward speedup on saturated tiles.
   * because the wrapper reads color/alpha/depth straight out of the acc
     rows, the cotangent d_acc IS the pixel gradient frame the backward
     needs: dL/dw = d_acc^T @ fields.
-  * backward re-walks each segment in REVERSE chunk order,
-    reconstructing per-row transmittance from the saved final logT
-    (gsplat's recompute strategy) and carrying the suffix sum
+  * backward re-walks the live chunks in REVERSE order, reconstructing
+    per-row transmittance from the saved final logT (gsplat's recompute
+    strategy) and carrying the suffix sum
     S = dlogT + sum_{later} w_j dL/dw_j needed for dL/dalpha.
-    Per-instance gradients go to disjoint columns of a (16, CAP)
-    buffer — no atomics, since an instance belongs to exactly one tile.
+    Per-instance gradients go to disjoint G-aligned columns of a
+    (16, CAP_OUT) buffer (`binning.out_starts` layout) — no atomics,
+    since an instance belongs to exactly one tile. Chunks the forward
+    never composited are skipped entirely; the wrapper masks their
+    (uninitialized) columns during gradient routing.
 
 Instance field rows (INST_DIM=16):
   0 mx, 1 my (pixel-space mean), 2-4 conic (a,b,c), 5 opacity,
@@ -53,26 +66,80 @@ MAX_ALPHA = 0.999
 LOG_T_EPS = math.log(1e-4)
 
 F32 = jnp.float32
+HIGHEST = jax.lax.Precision.HIGHEST
+_LOG2G = int(math.log2(G))
 
 
-def _excl_prefix_mat():
-    """M[k, j] = 1 if k < j — x(P,G) @ M gives exclusive prefix along G."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r < c).astype(F32)
+def _trunc_bf16(v):
+    """Zero the low 16 mantissa bits: the result is exactly representable
+    in bf16, so a DEFAULT-precision MXU pass multiplies it exactly."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), F32)
 
 
-def _incl_suffix_mat():
-    """M[k, j] = 1 if k >= j — x(P,G) @ M gives inclusive suffix along G."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r >= c).astype(F32)
+def dot_f32(a, b, dims):
+    """dot_general at ~f32 accuracy from three DEFAULT-precision MXU
+    passes (bf16x3 split: hi*hi + hi*lo + lo*hi; the lo*lo term is below
+    f32 roundoff). Mosaic only lowers DEFAULT and HIGHEST; HIGHEST runs
+    6 passes, this is twice as fast at equal practical accuracy."""
+    a_hi = _trunc_bf16(a)
+    b_hi = _trunc_bf16(b)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=F32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def _strict_suffix_mat():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r > c).astype(F32)
+def lane_scan_rolls(x, reverse=False):
+    """Prefix (exclusive) / suffix (inclusive) sum along lanes: exact f32
+    via log2(G) masked rotate-adds on the VPU. ~3us per (1024,128) —
+    used where exactness matters more than speed. (pltpu.roll only takes
+    non-negative shifts; a left-roll by s is a roll by n-s.)"""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    n = x.shape[-1]
+    if not reverse:
+        x = jnp.where(col >= 1, pltpu.roll(x, 1, 1), 0.0)
+    for k in range(_LOG2G):
+        s = 1 << k
+        if reverse:
+            x = x + jnp.where(col < n - s, pltpu.roll(x, n - s, 1), 0.0)
+        else:
+            x = x + jnp.where(col >= s, pltpu.roll(x, s, 1), 0.0)
+    return x
+
+
+def _scan_mat(n, kind):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    op = {"prefix_excl": r < c, "suffix_incl": r >= c}[kind]
+    return op.astype(F32)
+
+
+def _lane_scan_mm(x, kind):
+    """Prefix/suffix sum along lanes via a split triangular matmul.
+
+    A DEFAULT-precision MXU pass rounds operands to bf16 (~4e-3 rel) —
+    too coarse for transmittance. But the 0/1 scan matrix is exact in
+    bf16, so splitting x = hi + lo (hi = bf16-truncated, exactly
+    representable) gives  scan(x) = mm(hi) + mm(lo)  with error only
+    from rounding lo (~1.6e-5 rel of x): two fast MXU passes instead of
+    a 6-pass HIGHEST matmul or a ~3us VPU roll-scan."""
+    M = _scan_mat(x.shape[-1], kind)
+    hi = _trunc_bf16(x)
+    lo = x - hi
+    d = functools.partial(jax.lax.dot, preferred_element_type=F32)
+    return d(hi, M) + d(lo, M)
+
+
+def lane_prefix_excl(x):
+    """Exclusive prefix sum along the lane (last) axis (~1.6e-5 rel)."""
+    return _lane_scan_mm(x, "prefix_excl")
+
+
+def lane_suffix_incl(x):
+    """Inclusive suffix sum along the lane (last) axis (~1.6e-5 rel)."""
+    return _lane_scan_mm(x, "suffix_incl")
 
 
 def _pixel_coords(tile_id, n_tiles_x):
@@ -88,7 +155,10 @@ def _pixel_coords(tile_id, n_tiles_x):
 def _chunk_alpha(buf, px, py, col0, count):
     """alpha for one chunk. buf: (INST_DIM, G) block; px, py (P, 1).
 
-    Returns alpha (P,G), lam (P,G), dx, dy (P,G), not_clamped (P,G)."""
+    col0 may be negative (floor-aligned chunk base: col0 = i*G - lead);
+    columns with col < 0 belong to the previous tile's segment and are
+    masked out. Returns alpha (P,G), lam (P,G), dx, dy (P,G),
+    not_clamped (P,G)."""
     mx = buf[0:1, :]
     my = buf[1:2, :]
     a = buf[2:3, :]
@@ -102,7 +172,7 @@ def _chunk_alpha(buf, px, py, col0, count):
     raw = op * jnp.exp(-sigma)
     alpha = jnp.minimum(raw, MAX_ALPHA)
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-    valid = (col < count) & (one > 0.5)
+    valid = (col >= 0) & (col < count) & (one > 0.5)
     alpha = jnp.where((alpha >= ALPHA_CUTOFF) & valid, alpha, 0.0)
     lam = jnp.log1p(-alpha)
     return alpha, lam, dx, dy, (raw < MAX_ALPHA)
@@ -117,13 +187,14 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
-    n_chunks = pl.cdiv(count, G)
+    base = (start // G) * G            # floor-aligned chunk base
+    lead = start - base
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
 
     px, py = _pixel_coords(t, n_tiles_x)
-    M_excl = _excl_prefix_mat()
 
     def dma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(base + i * G, G)
         return pltpu.make_async_copy(
             inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
 
@@ -145,14 +216,12 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
 
         dma(i, slot).wait()
         chunk = buf[slot]
-        alpha, lam, _, _, _ = _chunk_alpha(chunk, px, py, i * G, count)
-        seg_excl = jax.lax.dot(lam, M_excl, preferred_element_type=F32)
-        logT_tot = logT + seg_excl                          # (P, G)
+        alpha, lam, _, _, _ = _chunk_alpha(chunk, px, py, i * G - lead,
+                                           count)
+        logT_tot = logT + lane_prefix_excl(lam)             # (P, G)
         w = jnp.where(logT_tot > LOG_T_EPS,
                       alpha * jnp.exp(logT_tot), 0.0)
-        acc = acc + jax.lax.dot_general(
-            chunk, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)                     # (16, P)
+        acc = acc + dot_f32(chunk, w, (((1,), (1,)), ((), ())))  # (16, P)
         logT = logT + jnp.sum(lam, axis=1, keepdims=True)
         return i + 1, acc, logT
 
@@ -167,7 +236,11 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
         dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
 
     acc_ref[0] = acc
-    logT_ref[0] = jnp.swapaxes(logT, 0, 1)
+    # row 0: final log-transmittance; row 1: chunks composited (i_fin),
+    # exact in f32, consumed by the backward's reverse walk
+    logT_ref[0] = jnp.concatenate(
+        [jnp.swapaxes(logT, 0, 1),
+         jnp.full((1, P), i_fin.astype(F32))], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
@@ -175,16 +248,17 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
 def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
                   n_tiles_x: int, n_tiles_y: int, interpret: bool = False):
     """inst_data (16, CAP+G), tile_starts (n_tiles+1,) ->
-    (acc (n_tiles, 16, P), logT (n_tiles, 1, P))."""
+    (acc (n_tiles, 16, P), logT (n_tiles, 2, P): row 0 log-transmittance,
+    row 1 the per-tile composited chunk count i_fin)."""
     n_tiles = n_tiles_x * n_tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, INST_DIM, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 2, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -196,7 +270,7 @@ def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
         functools.partial(_fwd_kernel, n_tiles_x=n_tiles_x),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_tiles, INST_DIM, P), F32),
-                   jax.ShapeDtypeStruct((n_tiles, 1, P), F32)),
+                   jax.ShapeDtypeStruct((n_tiles, 2, P), F32)),
         interpret=interpret,
     )(tile_starts, inst_data)
 
@@ -205,13 +279,16 @@ def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
-                logT_final_hbm, ginst_ref, buf, go, gbuf, lt_buf,
-                sem, sem_go, wsem, *, n_tiles_x):
+def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
+                dlogT_hbm, logT_final_hbm, ginst_ref, buf, go, gbuf,
+                lt_buf, sem, sem_go, wsem, *, n_tiles_x):
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
-    n_chunks = pl.cdiv(count, G)
+    base = (start // G) * G
+    lead = start - base
+    out0 = out_starts[t]
+    n_live = ifin[t]      # chunks the forward actually composited
 
     cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
     cp_go.start()
@@ -224,29 +301,27 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
     cp_lt.wait()
 
     px, py = _pixel_coords(t, n_tiles_x)
-    M_sufi = _incl_suffix_mat()
-    M_sufs = _strict_suffix_mat()
 
     dlogT = jnp.swapaxes(lt_buf[0], 0, 1)             # (P, 1)
     logT0 = jnp.swapaxes(lt_buf[1], 0, 1)             # (P, 1)
 
     def dma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(base + i * G, G)
         return pltpu.make_async_copy(
             inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
 
     def wdma(i, slot):
-        off = pl.multiple_of(start + i * G, G)
+        off = pl.multiple_of(out0 + i * G, G)
         return pltpu.make_async_copy(
             gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_live > 0)
     def _():
-        dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+        dma(n_live - 1, jax.lax.rem(n_live - 1, 2)).start()
 
     def body(k, carry):
         S, logT_after = carry
-        i = n_chunks - 1 - k
+        i = n_live - 1 - k
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i - 1 >= 0)
@@ -256,17 +331,15 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
         dma(i, slot).wait()
         chunk = buf[slot]
         alpha, lam, dx, dy, not_clamped = _chunk_alpha(
-            chunk, px, py, i * G, count)
-        suf_incl = jax.lax.dot(lam, M_sufi, preferred_element_type=F32)
-        logT_tot = logT_after - suf_incl               # log T before row j
+            chunk, px, py, i * G - lead, count)
+        logT_tot = logT_after - lane_suffix_incl(lam)  # log T before row j
         T = jnp.exp(logT_tot)
         w = jnp.where(logT_tot > LOG_T_EPS, alpha * T, 0.0)
 
         # dL/dw (P, G) = d_acc^T (P, 16) @ fields (16, G)
-        dw = jax.lax.dot_general(go[:], chunk, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=F32)
+        dw = dot_f32(go[:], chunk, (((0,), (0,)), ((), ())))
         wdw = w * dw
-        S_after = S + jax.lax.dot(wdw, M_sufs, preferred_element_type=F32)
+        S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
         dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
 
@@ -284,7 +357,7 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
         gb = jnp.sum(dx * dy * dsig, axis=0, keepdims=True)
         gc = jnp.sum(0.5 * dy * dy * dsig, axis=0, keepdims=True)
         gop = jnp.sum(dop, axis=0, keepdims=True)
-        gcd = jax.lax.dot(go[:], w, preferred_element_type=F32)  # (16, G)
+        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))        # (16, G)
         zero = jnp.zeros((1, G), F32)
 
         # reuse of this gbuf slot: make sure its previous write landed
@@ -302,15 +375,15 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
         logT_after = logT_after - jnp.sum(lam, axis=1, keepdims=True)
         return S, logT_after
 
-    jax.lax.fori_loop(0, n_chunks, body, (dlogT, logT0))
+    jax.lax.fori_loop(0, n_live, body, (dlogT, logT0))
 
     # drain outstanding grad writes (last two chunks processed were
     # indices 1 and 0 in segment order)
-    @pl.when(n_chunks > 0)
+    @pl.when(n_live > 0)
     def _():
         wdma(0, 0).wait()
 
-    @pl.when(n_chunks > 1)
+    @pl.when(n_live > 1)
     def _():
         wdma(1, 1).wait()
 
@@ -318,22 +391,29 @@ def _bwd_kernel(tile_starts, inst_hbm, dacc_hbm, dlogT_hbm,
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
                                              "interpret"))
 def rasterize_bwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
+                  out_starts: jnp.ndarray, ifin: jnp.ndarray,
                   d_acc: jnp.ndarray, d_logT: jnp.ndarray,
                   logT_final: jnp.ndarray,
                   n_tiles_x: int, n_tiles_y: int,
                   interpret: bool = False) -> jnp.ndarray:
-    """d_acc (n_tiles, 16, P), d_logT / logT_final (n_tiles, 1, P).
-    Returns per-instance grads (16, CAP+G) in the field-row layout."""
+    """d_acc (n_tiles, 16, P), d_logT / logT_final (n_tiles, 1, P),
+    out_starts (n_tiles+1,) aligned grad columns, ifin (n_tiles,) chunks
+    the forward composited. Returns per-instance grads
+    (16, grad_capacity(CAP)) in the `binning.grad_slot` column layout;
+    columns of never-composited chunks are uninitialized — mask them
+    with `slot_chunk < ifin[slot_tile]` when routing."""
+    from horizongs_tpu.ops.binning import grad_capacity
     n_tiles = n_tiles_x * n_tiles_y
-    cap = inst_data.shape[1]
+    cap = inst_data.shape[1] - G     # CAP+G buffer -> logical capacity
+    cap_out = grad_capacity(cap, n_tiles, G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, INST_DIM, G), F32),   # double-buffered chunks
             pltpu.VMEM((INST_DIM, P), F32),      # grad-out frame
@@ -347,7 +427,7 @@ def rasterize_bwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n_tiles_x=n_tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((INST_DIM, cap), F32),
+        out_shape=jax.ShapeDtypeStruct((INST_DIM, cap_out), F32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, inst_data, d_acc, d_logT, logT_final)
+    )(tile_starts, out_starts, ifin, inst_data, d_acc, d_logT, logT_final)

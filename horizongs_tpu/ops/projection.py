@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from horizongs_tpu.core.transforms import build_covariance, quat_to_rotmat
@@ -43,10 +44,14 @@ class ProjectedSurfels(NamedTuple):
     normals: jnp.ndarray      # (N, 3) camera-space splat normals
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _camera_points(means: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    return means @ R.T + t
+    # HIGHEST: TPU default matmul precision rounds operands to bf16
+    return jnp.matmul(means, R.T, precision=_HI) + t
 
 
 def project_3dgs(
@@ -73,7 +78,8 @@ def project_3dgs(
 
     W = viewmat[:3, :3]
     cov_world = build_covariance(scales, quats)                # (N, 3, 3)
-    cov_cam = W[None] @ cov_world @ W.T[None]                  # (N, 3, 3)
+    cov_cam = jnp.matmul(jnp.matmul(W[None], cov_world, precision=_HI),
+                         W.T[None], precision=_HI)             # (N, 3, 3)
 
     # EWA Jacobian with frustum clamp (gsplat: lim = 1.3 * tan(fov/2))
     tan_fovx = 0.5 * width / fx
@@ -90,7 +96,8 @@ def project_3dgs(
         jnp.stack([fx * rz, zeros, -fx * tx * rz2], axis=-1),
         jnp.stack([zeros, fy * rz, -fy * ty * rz2], axis=-1),
     ], axis=-2)
-    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)              # (N, 2, 2)
+    cov2d = jnp.matmul(jnp.matmul(J, cov_cam, precision=_HI),
+                       jnp.swapaxes(J, -1, -2), precision=_HI)  # (N, 2, 2)
 
     a = cov2d[:, 0, 0]
     b = cov2d[:, 0, 1]
@@ -155,16 +162,17 @@ def project_2dgs(
 
     W = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = means @ W.T + t                                   # (N, 3)
+    p_cam = jnp.matmul(means, W.T, precision=_HI) + t         # (N, 3)
     z = p_cam[:, 2]
     valid = (z > near_plane) & (z < far_plane)
 
     R = quat_to_rotmat(quats)                                 # (N, 3, 3)
     r0 = R[..., :, 0] * scales[:, 0:1]                        # (N, 3) tangent u
     r1 = R[..., :, 1] * scales[:, 1:2]                        # (N, 3) tangent v
-    r0_cam = r0 @ W.T
-    r1_cam = r1 @ W.T
-    normal_cam = jnp.cross(R[..., :, 0] @ W.T, R[..., :, 1] @ W.T)
+    r0_cam = jnp.matmul(r0, W.T, precision=_HI)
+    r1_cam = jnp.matmul(r1, W.T, precision=_HI)
+    normal_cam = jnp.cross(jnp.matmul(R[..., :, 0], W.T, precision=_HI),
+                           jnp.matmul(R[..., :, 1], W.T, precision=_HI))
     normal_cam = normal_cam / jnp.clip(
         jnp.linalg.norm(normal_cam, axis=-1, keepdims=True), 1e-12, None)
     # flip normals to face the camera (ray dir ~ p_cam)
@@ -173,7 +181,7 @@ def project_2dgs(
 
     # M columns: [r0_cam, r1_cam, p_cam], then K applied.
     M = jnp.stack([r0_cam, r1_cam, p_cam], axis=-1)           # (N, 3, 3)
-    M = Kh[None] @ M
+    M = jnp.matmul(Kh[None], M, precision=_HI)
 
     # Screen-space AABB of the 3-sigma disk (2DGS homogeneous trick):
     # with rows M1, M2, M3 of M scaled by diag(1, 1, -1) test point,

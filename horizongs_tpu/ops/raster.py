@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from horizongs_tpu.ops.binning import build_tile_instances
+from horizongs_tpu.ops.binning import build_tile_instances, cull_radius
 from horizongs_tpu.ops.projection import project_2dgs, project_3dgs
 from horizongs_tpu.ops.reference import (
     ALPHA_CUTOFF,
@@ -138,7 +138,8 @@ def rasterize_tiled_3dgs(
     rgb = _sh_colors(colors, sh_degree, means, cam_pos)
     C = rgb.shape[-1]
 
-    inst = build_tile_instances(jax.lax.stop_gradient(means2d), proj.radii,
+    radii = cull_radius(proj.radii, opacities)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
                                 tile_w, tile_h, cap)
 
@@ -242,7 +243,8 @@ def rasterize_tiled_2dgs(
     rgb = _sh_colors(colors, sh_degree, means, cam_pos)
     C = rgb.shape[-1]
 
-    inst = build_tile_instances(jax.lax.stop_gradient(means2d), proj.radii,
+    radii = cull_radius(proj.radii, opacities, guard_px=2.2)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
                                 tile_w, tile_h, cap)
 

@@ -10,9 +10,12 @@ differentiates with ordinary XLA autodiff.
 
 Gradient routing back from per-instance to per-gaussian avoids XLA's
 serializing scatter: the backward kernel writes one gradient row per
-instance; rows are un-sorted with a precomputed inverse permutation
-(pure gather) and reduced per gaussian with a cumsum over the
-contiguous pre-sort slot ranges — all O(CAP) vector primitives.
+instance into a per-tile G-aligned column layout (`binning.grad_slot`);
+rows are un-sorted with a precomputed gather and reduced per gaussian
+with a cumsum over the contiguous pre-sort slot ranges — all O(CAP)
+vector primitives. Columns of chunks the forward never composited
+(saturated tiles) are skipped by the backward kernel and masked here
+using the forward's per-tile live-chunk count.
 """
 from __future__ import annotations
 
@@ -26,8 +29,8 @@ from jax.dtypes import float0
 
 from horizongs_tpu.ops.binning import (
     TileInstances,
-    align_tile_segments,
     build_tile_instances,
+    cull_radius,
 )
 from horizongs_tpu.ops.pallas.raster3d import (
     G,
@@ -62,16 +65,21 @@ def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
 
 
 def _instance_grads_to_fields(ginst: jnp.ndarray, inst: TileInstances,
+                              ifin: jnp.ndarray,
                               n_fields: int = N_FIELDS) -> jnp.ndarray:
-    """(inst_dim, CAP+G) instance grads -> (N, F) per-gaussian grads.
+    """(inst_dim, CAP_OUT) instance grads -> (N, F) per-gaussian grads.
 
-    Un-sort with the precomputed inverse permutation (gather), then
-    reduce each gaussian's contiguous pre-sort slot range with a cumsum
-    difference. Slot count may exceed the padded row count when
-    instances overflowed the cap — ranges are clipped accordingly."""
+    Un-sort with the precomputed `grad_slot` gather, zero the slots whose
+    chunk the forward never composited (their grad columns are
+    uninitialized), then reduce each gaussian's contiguous pre-sort slot
+    range with a cumsum difference. Slot count may exceed the padded row
+    count when instances overflowed the cap — ranges are clipped."""
     cap = inst.gauss_id.shape[0]
     n_slots = inst.inv_perm.shape[0]
-    gu = ginst[:n_fields, :cap].T[inst.inv_perm]           # pre-sort slot order
+    live = ((jnp.arange(cap, dtype=jnp.int32) < inst.n_instances)
+            & (inst.slot_chunk < ifin[inst.slot_tile]))
+    gu = ginst[:n_fields, :].T[inst.grad_slot]            # pre-sort slot order
+    gu = jnp.where(live[:, None], gu, 0.0)
     csum = jnp.cumsum(gu, axis=0)
     csum = jnp.concatenate([jnp.zeros((1, n_fields)), csum], axis=0)
     ends = jnp.clip(inst.gauss_offsets, 0, n_slots)
@@ -88,21 +96,25 @@ def _raster_core(fields, inst: TileInstances,
 
 
 def _raster_core_fwd(fields, inst, n_tiles_x, n_tiles_y, interpret):
-    out = _raster_core(fields, inst, n_tiles_x, n_tiles_y, interpret)
-    acc, logT = out
-    return out, (fields, inst, logT)
+    inst_data = _assemble_inst(fields, inst)
+    out = rasterize_fwd(inst_data, inst.tile_starts, n_tiles_x, n_tiles_y,
+                        interpret=interpret)
+    acc, logT2 = out
+    return out, (inst_data, inst, logT2)
 
 
 def _raster_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
-    fields, inst, logT_final = res
-    d_acc, d_logT = d_out
-    inst_data = _assemble_inst(fields, inst)
-    ginst = rasterize_bwd(inst_data, inst.tile_starts, d_acc, d_logT,
-                          logT_final, n_tiles_x, n_tiles_y,
-                          interpret=interpret)
+    inst_data, inst, logT2 = res
+    d_acc, d_logT2 = d_out
+    logT_final = logT2[:, 0:1, :]
+    ifin = logT2[:, 1, 0].astype(jnp.int32)                # (n_tiles,)
+    d_logT = d_logT2[:, 0:1, :]
+    ginst = rasterize_bwd(inst_data, inst.tile_starts, inst.out_starts,
+                          ifin, d_acc, d_logT, logT_final,
+                          n_tiles_x, n_tiles_y, interpret=interpret)
     # int/bool pytree args take float0 cotangents
     d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
-    return (_instance_grads_to_fields(ginst, inst), d_inst)
+    return (_instance_grads_to_fields(ginst, inst, ifin), d_inst)
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
@@ -137,19 +149,21 @@ def rasterize_pallas_3dgs(
 
     # gaussians below the alpha cutoff can never contribute — don't bin them
     # (the neural-GS decode zeroes opacity on masked rows, so this is what
-    # keeps dead table padding free)
-    radii = jnp.where(opacities >= 1.0 / 255.0, proj.radii, 0.0)
+    # keeps dead table padding free); the opacity-aware cull radius is
+    # lossless w.r.t. the compositor's alpha cutoff
+    radii = jnp.where(opacities >= 1.0 / 255.0,
+                      cull_radius(proj.radii, opacities), 0.0)
     inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
                                 TILE_W, TILE_H, cap)
-    inst = align_tile_segments(inst, grid.n_tiles, align=G)
 
     fields = jnp.concatenate([
         means2d, proj.conics, opacities[:, None], rgb, proj.depths[:, None],
     ], axis=-1)                                            # (N, 10)
 
-    acc, logT = _raster_core(fields, inst, grid.n_tiles_x, grid.n_tiles_y,
-                             interpret)    # (n_tiles, 16, P), (n_tiles, 1, P)
+    acc, logT2 = _raster_core(fields, inst, grid.n_tiles_x, grid.n_tiles_y,
+                              interpret)   # (n_tiles, 16, P), (n_tiles, 2, P)
+    logT = logT2[:, 0:1, :]
 
     color_t = jnp.swapaxes(acc[:, 6:9, :], 1, 2)           # (n_tiles, P, 3)
     alpha_t = jnp.swapaxes(acc[:, 10:11, :], 1, 2)
@@ -192,21 +206,26 @@ def _raster2d_core(fields, inst: TileInstances,
 
 
 def _raster2d_core_fwd(fields, inst, n_tiles_x, n_tiles_y, interpret):
-    out = _raster2d_core(fields, inst, n_tiles_x, n_tiles_y, interpret)
+    from horizongs_tpu.ops.pallas.raster2d import (
+        INST_DIM as INST_DIM2, rasterize2d_fwd)
+    inst_data = _assemble_inst(fields, inst, inst_dim=INST_DIM2)
+    out = rasterize2d_fwd(inst_data, inst.tile_starts, n_tiles_x,
+                          n_tiles_y, interpret=interpret)
     acc, aux = out
-    return out, (fields, inst, aux)
+    return out, (inst_data, inst, aux)
 
 
 def _raster2d_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
-    from horizongs_tpu.ops.pallas.raster2d import (
-        INST_DIM as INST_DIM2, rasterize2d_bwd)
-    fields, inst, aux = res
+    from horizongs_tpu.ops.pallas.raster2d import rasterize2d_bwd
+    inst_data, inst, aux = res
     d_acc, d_aux = d_out
-    inst_data = _assemble_inst(fields, inst, inst_dim=INST_DIM2)
-    ginst = rasterize2d_bwd(inst_data, inst.tile_starts, d_acc, d_aux, aux,
+    ifin = aux[:, 6, 0].astype(jnp.int32)                  # (n_tiles,)
+    ginst = rasterize2d_bwd(inst_data, inst.tile_starts, inst.out_starts,
+                            ifin, d_acc, d_aux, aux,
                             n_tiles_x, n_tiles_y, interpret=interpret)
     d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
-    return (_instance_grads_to_fields(ginst, inst, n_fields=N_FIELDS_2D),
+    return (_instance_grads_to_fields(ginst, inst, ifin,
+                                      n_fields=N_FIELDS_2D),
             d_inst)
 
 
@@ -243,11 +262,12 @@ def rasterize_pallas_2dgs(
     cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
     rgb = _sh_colors(colors, sh_degree, means, cam_pos)
 
-    radii = jnp.where(opacities >= 1.0 / 255.0, proj.radii, 0.0)
+    radii = jnp.where(opacities >= 1.0 / 255.0,
+                      cull_radius(proj.radii, opacities, guard_px=2.2),
+                      0.0)
     inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
                                 TILE_W2, TILE_H2, cap)
-    inst = align_tile_segments(inst, grid.n_tiles, align=G)
 
     M = proj.transforms                                    # (N, 3, 3)
     fields = jnp.concatenate([

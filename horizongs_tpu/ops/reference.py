@@ -37,6 +37,7 @@ from horizongs_tpu.ops.projection import (
 
 ALPHA_CUTOFF = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
+_HI = jax.lax.Precision.HIGHEST
 MAX_ALPHA = 0.999
 # 2DGS screen-space low-pass filter: rho = min(rho_3d, FILTER_INV_SQUARE * d^2)
 FILTER_INV_SQUARE_2DGS = 2.0
@@ -79,9 +80,11 @@ def _composite_chunk_3dgs(px: jnp.ndarray, py: jnp.ndarray,
     T = jnp.concatenate([jnp.ones_like(alpha[:, :1]),
                          jnp.cumprod(one_minus, axis=1)[:, :-1]], axis=1)
     w = jnp.where(T > TRANSMITTANCE_EPS, alpha * T, 0.0)     # (P, N)
-    color_sum = w @ colors                                   # (P, C)
+    # HIGHEST precision: default TPU matmuls round operands to bf16,
+    # which would defeat this oracle's purpose as the accuracy reference
+    color_sum = jnp.matmul(w, colors, precision=_HI)         # (P, C)
     alpha_sum = jnp.sum(w, axis=1)
-    depth_sum = w @ depths
+    depth_sum = jnp.matmul(w, depths, precision=_HI)
     # final transmittance after the last contributing gaussian
     T_final = jnp.prod(jnp.where(w > 0, one_minus, 1.0), axis=1)
     return color_sum, alpha_sum, depth_sum, T_final
@@ -202,10 +205,10 @@ def _composite_chunk_2dgs(px, py, transforms, means2d, opacities, colors,
                          jnp.cumprod(one_minus, axis=1)[:, :-1]], axis=1)
     w = jnp.where(T > TRANSMITTANCE_EPS, alpha * T, 0.0)
 
-    color_sum = w @ colors
+    color_sum = jnp.matmul(w, colors, precision=_HI)
     alpha_sum = jnp.sum(w, axis=1)
     depth_sum = jnp.sum(w * z_inter, axis=1)
-    normal_sum = w @ normals
+    normal_sum = jnp.matmul(w, normals, precision=_HI)
     T_final = jnp.prod(jnp.where(w > 0, one_minus, 1.0), axis=1)
 
     # distortion (2DGS eq. 15, running form over sorted order):

@@ -28,7 +28,10 @@ def test_pallas_matches_dense(mode):
                                            interpret=True)
     assert int(info["n_dropped"]) == 0
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_d), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_d), atol=1e-4)
+    # rtol term for the ED depth channel (values ~scene depth, so pure
+    # f32 summation-order noise exceeds a bare 1e-4 atol)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_d), atol=1e-4,
+                               rtol=2e-4)
 
 
 def test_pallas_gradients_match_dense():
@@ -95,3 +98,45 @@ def test_pallas_opacity_cull_consistent():
     r_d, _, _ = render_dense_3dgs(*args)
     r_p, _, _ = rasterize_pallas_3dgs(*args, interpret=True)
     np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_d), atol=1e-4)
+
+
+def test_pallas_saturated_tile_gradients():
+    """Early-exit regression: when a tile saturates (T < 1e-4) before its
+    instance segment ends, the forward stops early and the backward must
+    start its reverse walk at the same chunk — gradients of the visible
+    front gaussians must still match the dense oracle, and the occluded
+    tail must contribute exactly zero."""
+    cam, _ = _scene(n=4, w=64, h=64)
+    n = 400  # ~3 chunks stacked in depth over the same few tiles
+    rng = np.random.default_rng(7)
+    means = np.stack([
+        rng.uniform(-0.15, 0.15, n),
+        rng.uniform(-0.15, 0.15, n),
+        np.linspace(-0.5, 0.5, n)], axis=1).astype(np.float32)
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    g = dict(
+        means=jnp.asarray(means), quats=jnp.asarray(quats),
+        scales=jnp.full((n, 3), 0.08, jnp.float32),
+        opacities=jnp.full((n,), 0.95, jnp.float32),
+        colors=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)))
+    bg = jnp.zeros(3)
+
+    def loss(fn, means, op):
+        r, _, _ = fn(means, g["quats"], g["scales"], op, g["colors"],
+                     cam.viewmat, cam.K, 64, 64, bg)
+        return jnp.mean((r - 0.25) ** 2)
+
+    import functools
+    gd = jax.grad(functools.partial(loss, render_dense_3dgs),
+                  argnums=(0, 1))(g["means"], g["opacities"])
+    gp = jax.grad(functools.partial(
+        loss, functools.partial(rasterize_pallas_3dgs, interpret=True)),
+        argnums=(0, 1))(g["means"], g["opacities"])
+    for a, b in zip(gd, gp):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-4)
+    # the deep tail is almost fully occluded -> negligible grads
+    tail = np.asarray(gp[1][-40:])
+    assert np.abs(tail).max() < 1e-5
