@@ -25,6 +25,18 @@ _WARNED = False
 
 
 def _load_image(path: str, resolution) -> np.ndarray:
+    """Decode + resize + normalize. JPEG/PNG go through the native C++
+    pipeline (`horizongs_tpu.native`, libjpeg/libpng + antialiased
+    resize) when the shared library is available; everything else (and
+    the fallback) uses PIL."""
+    from horizongs_tpu import native
+    if path.endswith(native.NATIVE_FORMATS) and native.available():
+        arr = native.load_image_rgba(path, resolution[0], resolution[1])
+        # slice to the source channel count: downstream alpha handling
+        # keys on whether the file actually had an alpha channel
+        _, _, c = native.image_info(path)
+        return arr[..., :4] if c in (2, 4) else arr[..., :3] if c == 3 \
+            else arr[..., :1]
     from PIL import Image
     with Image.open(path) as im:
         im = im.resize(resolution)
@@ -151,10 +163,20 @@ def load_camera(args, uid: int, info: CameraInfo,
 
 
 def camera_list(infos: List[CameraInfo], args,
-                resolution_scale: float = 1.0) -> List[Camera]:
-    cams = [load_camera(args, i, info, resolution_scale)
-            for i, info in enumerate(infos)]
-    return cams
+                resolution_scale: float = 1.0,
+                max_workers: int = 8) -> List[Camera]:
+    """Thread-pool camera construction (reference: `cameraList_from_
+    camInfos` thread pool, `utils/camera_utils.py:69-90`). The decode +
+    resize hot path is native C++ (ctypes releases the GIL), so workers
+    scale across cores."""
+    if len(infos) <= 1 or max_workers <= 1:
+        return [load_camera(args, i, info, resolution_scale)
+                for i, info in enumerate(infos)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(load_camera, args, i, info, resolution_scale)
+                for i, info in enumerate(infos)]
+        return [f.result() for f in futs]
 
 
 def camera_to_json(idx: int, info: CameraInfo) -> dict:

@@ -138,20 +138,38 @@ def read_images_text(path: str) -> Dict[int, ColmapImage]:
     return images
 
 
-def read_points3D_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def read_points3D_binary_full(path: str):
+    """points3D.bin -> (ids (N,) int64, xyz (N,3), rgb (N,3), err (N,)).
+
+    Uses the native C++ parser (`native/src/hgs_io.cpp`) when built —
+    one fread + pointer walk instead of a per-point struct loop (the
+    reference's `preprocess/read_write_model.py:read_points3D_binary`
+    costs tens of seconds on city-scale models)."""
+    try:
+        from horizongs_tpu import native
+        if native.available():
+            return native.read_colmap_points3d(path)
+    except Exception:
+        pass
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
+        ids = np.empty(num, dtype=np.int64)
         xyz = np.empty((num, 3))
         rgb = np.empty((num, 3))
         err = np.empty(num)
         for i in range(num):
-            _pid = _read(f, 8, "Q")[0]
+            ids[i] = _read(f, 8, "Q")[0]
             xyz[i] = _read(f, 24, "ddd")
             rgb[i] = _read(f, 3, "BBB")
             err[i] = _read(f, 8, "d")[0]
             (tlen,) = _read(f, 8, "Q")
             f.seek(8 * tlen, os.SEEK_CUR)
-    return xyz, rgb, err
+    return ids, xyz, rgb.astype(np.uint8), err
+
+
+def read_points3D_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    _, xyz, rgb, err = read_points3D_binary_full(path)
+    return xyz, rgb.astype(np.float64), err
 
 
 def read_points3D_text(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
