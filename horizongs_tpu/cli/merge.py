@@ -63,12 +63,13 @@ def main(argv=None):
         scene = Scene(lp, mcfg, load_iteration=-1, explicit=True,
                       logger=logger)
         cams = scene.get_test_cameras() or scene.get_train_cameras()
-        renders, gts, counts, times, types = render_set(
+        renders, gts, counts, times, types, subsets = render_set(
             merged_dir, "test", scene.loaded_iter, cams, scene.cfg, scene,
             scene.explicit_state, rasterizer=pick_rasterizer(args.rasterizer),
             explicit=True)
         results = evaluate_sets(merged_dir, scene.loaded_iter, renders, gts,
-                                types, lpips_model=lpips_fn_or_none())
+                                types, lpips_model=lpips_fn_or_none(),
+                                subsets=subsets)
         print(json.dumps(results, indent=2))
     return 0
 

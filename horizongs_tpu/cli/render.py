@@ -42,7 +42,7 @@ def main(argv=None):
         if skip or not cams:
             continue
         logger.info(f"Rendering {name} set ({len(cams)} views)")
-        renders, gts, counts, times, types = render_set(
+        renders, gts, counts, times, types, subsets = render_set(
             args.model_path, name, scene.loaded_iter, cams, scene.cfg,
             scene, state, rasterizer=rasterizer, explicit=args.explicit)
         fps = len(times) / max(sum(times), 1e-9)

@@ -93,11 +93,12 @@ def main(argv=None):
     if not args.skip_eval:
         logger.info("Rendering + evaluating test set")
         cams = scene.get_test_cameras() or scene.get_train_cameras()
-        renders, gts, counts, times, types = render_set(
+        renders, gts, counts, times, types, subsets = render_set(
             lp.model_path, "test", iterations, cams, scene.cfg, scene,
             trainer.state, rasterizer=trainer.rasterizer)
         results = evaluate_sets(lp.model_path, iterations, renders, gts,
-                                types, lpips_model=lpips_fn_or_none())
+                                types, lpips_model=lpips_fn_or_none(),
+                                subsets=subsets)
         logger.info(json.dumps(results, indent=2))
     return 0
 

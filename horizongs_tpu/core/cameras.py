@@ -87,6 +87,7 @@ class Camera(NamedTuple):
     uid: int = 0                  # camera index (appearance embedding lookup)
     image_type: str = "aerial"    # "aerial" | "street"
     resolution_scale: float = 1.0
+    subset: str = ""              # eval subset tag (UCGS robustness splits)
 
     @property
     def fx(self) -> jnp.ndarray:

@@ -159,7 +159,8 @@ def load_camera(args, uid: int, info: CameraInfo,
         alpha_mask=jnp.asarray(alpha.astype(np.float32)),
         invdepth=None if invdepth is None else jnp.asarray(invdepth),
         depth_mask=None if depth_mask is None else jnp.asarray(depth_mask),
-        uid=uid, image_type=image_type, resolution_scale=resolution_scale)
+        uid=uid, image_type=image_type, resolution_scale=resolution_scale,
+        subset=info.subset)
 
 
 def camera_list(infos: List[CameraInfo], args,

@@ -18,7 +18,7 @@ import json
 import math
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import List, Optional
 
 import numpy as np
@@ -60,6 +60,9 @@ class CameraInfo:
     depth_path: Optional[str] = None
     depth_params: Optional[dict] = None
     depth_scale: float = 1.0  # divisor applied to raw depth values
+    # evaluation subset tag (UCGS robustness splits: "heldout" /
+    # "shift_0.1m" / "shift_0.1m_rot_5deg"); empty for ordinary cameras
+    subset: str = ""
 
 
 @dataclass
@@ -377,9 +380,16 @@ def read_ucgs_scene(path, images="images", add_aerial=True, add_street=True,
     cam_pos = load(test_pos_dir)
     cam_rot = load(test_rot_dir)
     train = [c for c in cam20 if "eval" not in c.image_name]
-    test = ([c for c in cam20 if "eval" in c.image_name]
-            + [c for c in cam_pos if "eval" in c.image_name]
-            + [c for c in cam_rot if "eval" in c.image_name])
+    # the three robustness splits keep their identity so evaluation can
+    # report them separately (reference slices them by index at
+    # `train.py:542-591`; we tag instead of relying on ordering)
+    test = (
+        [replace(c, subset="heldout")
+         for c in cam20 if "eval" in c.image_name]
+        + [replace(c, subset="shift_0.1m")
+           for c in cam_pos if "eval" in c.image_name]
+        + [replace(c, subset="shift_0.1m_rot_5deg")
+           for c in cam_rot if "eval" in c.image_name])
 
     ply_path = os.path.join(path, train_dir, "sparse/0/points3D.ply")
     if not os.path.exists(ply_path):

@@ -103,9 +103,11 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     #    can use a single fused integer key instead of a lexicographic
     #    (tile, f32 depth) sort — ~2x fewer sorted bytes, one sort operand.
     rank_bits = max(31 - max(n_tiles + 1, 2).bit_length(), 1)
-    depth_order = jnp.argsort(jnp.where(valid_g, depths, jnp.inf))
-    depth_rank = jnp.zeros(N, dtype=jnp.int32).at[depth_order].set(
-        jnp.arange(N, dtype=jnp.int32))
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, depth_order = jax.lax.sort(
+        (jnp.where(valid_g, depths, jnp.inf), iota_n), num_keys=1)
+    # invert the order with a second small sort (a scatter would serialize)
+    _, depth_rank = jax.lax.sort((depth_order, iota_n), num_keys=1)
     depth_rank = jnp.minimum(depth_rank, (1 << rank_bits) - 1)
 
     x0, x1, y0, y1 = tile_spans(means2d, radii, n_tiles_x, n_tiles_y,
@@ -165,11 +167,12 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     # inverse permutation via a second radix sort (scatter would serialize)
     _, inv_perm = jax.lax.sort((perm, slots), num_keys=1)
 
-    # per-tile segment starts from a histogram of sorted tile ids
-    hist_t = jnp.zeros(n_tiles + 2, dtype=jnp.int32).at[tile_sorted].add(1)
-    tile_starts = jnp.concatenate([
-        jnp.zeros(1, dtype=jnp.int32),
-        jnp.cumsum(hist_t[:n_tiles + 1]).astype(jnp.int32)])[:n_tiles + 1]
+    # per-tile segment starts: binary search over the sorted tile ids
+    # (n_tiles+1 queries; a 600k-element scatter-add histogram costs ~6ms
+    # on TPU, this costs ~1.5ms)
+    tile_starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
 
     # aligned gradient-output layout: tile t's backward chunk i writes its
     # (INST_DIM, G) grad block at column out_starts[t] + i*G; chunks cover

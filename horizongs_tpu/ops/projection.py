@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from horizongs_tpu.core.transforms import build_covariance, quat_to_rotmat
+from horizongs_tpu.core.transforms import quat_to_rotmat
 
 
 class ProjectedGaussians(NamedTuple):
@@ -47,11 +47,19 @@ class ProjectedSurfels(NamedTuple):
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _rot_rows(W: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) @ (N,3)^T as flat vector math -> (N,3).
+
+    Batched tiny matmuls pad their 3-wide contraction onto the MXU (a
+    ~15x slowdown at N=100k); nine scalar-broadcast FMAs stay on the VPU
+    and are exact f32."""
+    return jnp.stack(
+        [W[i, 0] * v[:, 0] + W[i, 1] * v[:, 1] + W[i, 2] * v[:, 2]
+         for i in range(3)], axis=-1)
+
+
 def _camera_points(means: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
-    R = viewmat[:3, :3]
-    t = viewmat[:3, 3]
-    # HIGHEST: TPU default matmul precision rounds operands to bf16
-    return jnp.matmul(means, R.T, precision=_HI) + t
+    return _rot_rows(viewmat[:3, :3], means) + viewmat[:3, 3]
 
 
 def project_3dgs(
@@ -77,9 +85,13 @@ def project_3dgs(
     zs = jnp.where(valid, z, 1.0)  # avoid div-by-zero on culled rows
 
     W = viewmat[:3, :3]
-    cov_world = build_covariance(scales, quats)                # (N, 3, 3)
-    cov_cam = jnp.matmul(jnp.matmul(W[None], cov_world, precision=_HI),
-                         W.T[None], precision=_HI)             # (N, 3, 3)
+    # cov2d = J W Sigma W^T J^T with Sigma = R S^2 R^T factors as V V^T
+    # where V = J @ (W @ R) @ S — all computed as flat (N,) vector math
+    # (batched 3x3 matmuls lower terribly on TPU, see _rot_rows).
+    R = quat_to_rotmat(quats)                                  # (N, 3, 3)
+    WRs = [[(W[i, 0] * R[:, 0, k] + W[i, 1] * R[:, 1, k]
+             + W[i, 2] * R[:, 2, k]) * scales[:, k]
+            for k in range(3)] for i in range(3)]              # (WR)S
 
     # EWA Jacobian with frustum clamp (gsplat: lim = 1.3 * tan(fov/2))
     tan_fovx = 0.5 * width / fx
@@ -90,18 +102,14 @@ def project_3dgs(
     ty = zs * jnp.clip(y / zs, -lim_y, lim_y)
     rz = 1.0 / zs
     rz2 = rz * rz
-    # J (N, 2, 3)
-    zeros = jnp.zeros_like(rz)
-    J = jnp.stack([
-        jnp.stack([fx * rz, zeros, -fx * tx * rz2], axis=-1),
-        jnp.stack([zeros, fy * rz, -fy * ty * rz2], axis=-1),
-    ], axis=-2)
-    cov2d = jnp.matmul(jnp.matmul(J, cov_cam, precision=_HI),
-                       jnp.swapaxes(J, -1, -2), precision=_HI)  # (N, 2, 2)
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # J rows: [fx*rz, 0, -fx*tx*rz^2], [0, fy*rz, -fy*ty*rz^2]
+    j00, j02 = fx * rz, -fx * tx * rz2
+    j11, j12 = fy * rz, -fy * ty * rz2
+    v0 = [j00 * WRs[0][k] + j02 * WRs[2][k] for k in range(3)]
+    v1 = [j11 * WRs[1][k] + j12 * WRs[2][k] for k in range(3)]
+    a = v0[0] * v0[0] + v0[1] * v0[1] + v0[2] * v0[2]
+    b = v0[0] * v1[0] + v0[1] * v1[1] + v0[2] * v1[2]
+    c = v1[0] * v1[0] + v1[1] * v1[1] + v1[2] * v1[2]
     det_orig = a * c - b * b
     a = a + eps2d
     c = c + eps2d
@@ -156,32 +164,31 @@ def project_2dgs(
     """
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-    Kh = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
-                   dtype=means.dtype)
-    Kh = Kh.at[0, 0].set(fx).at[1, 1].set(fy).at[0, 2].set(cx).at[1, 2].set(cy)
 
     W = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = jnp.matmul(means, W.T, precision=_HI) + t         # (N, 3)
+    p_cam = _camera_points(means, viewmat)                    # (N, 3)
     z = p_cam[:, 2]
     valid = (z > near_plane) & (z < far_plane)
 
     R = quat_to_rotmat(quats)                                 # (N, 3, 3)
-    r0 = R[..., :, 0] * scales[:, 0:1]                        # (N, 3) tangent u
-    r1 = R[..., :, 1] * scales[:, 1:2]                        # (N, 3) tangent v
-    r0_cam = jnp.matmul(r0, W.T, precision=_HI)
-    r1_cam = jnp.matmul(r1, W.T, precision=_HI)
-    normal_cam = jnp.cross(jnp.matmul(R[..., :, 0], W.T, precision=_HI),
-                           jnp.matmul(R[..., :, 1], W.T, precision=_HI))
+    u0 = _rot_rows(W, R[..., :, 0])                           # unit tangents
+    u1 = _rot_rows(W, R[..., :, 1])                           # in camera space
+    r0_cam = u0 * scales[:, 0:1]
+    r1_cam = u1 * scales[:, 1:2]
+    normal_cam = jnp.cross(u0, u1)
     normal_cam = normal_cam / jnp.clip(
         jnp.linalg.norm(normal_cam, axis=-1, keepdims=True), 1e-12, None)
     # flip normals to face the camera (ray dir ~ p_cam)
     facing = jnp.sum(normal_cam * p_cam, axis=-1)
     normal_cam = jnp.where((facing > 0)[:, None], -normal_cam, normal_cam)
 
-    # M columns: [r0_cam, r1_cam, p_cam], then K applied.
-    M = jnp.stack([r0_cam, r1_cam, p_cam], axis=-1)           # (N, 3, 3)
-    M = jnp.matmul(Kh[None], M, precision=_HI)
+    # M columns: [r0_cam, r1_cam, p_cam]; K applied row-wise (flat vector
+    # math — see _rot_rows for why not a batched matmul)
+    cols = jnp.stack([r0_cam, r1_cam, p_cam], axis=-1)        # (N, 3, 3)
+    M = jnp.stack([fx * cols[:, 0, :] + cx * cols[:, 2, :],
+                   fy * cols[:, 1, :] + cy * cols[:, 2, :],
+                   cols[:, 2, :]], axis=-2)                   # (N, 3, 3)
 
     # Screen-space AABB of the 3-sigma disk (2DGS homogeneous trick):
     # with rows M1, M2, M3 of M scaled by diag(1, 1, -1) test point,

@@ -35,13 +35,27 @@ def save_image(path: str, img: np.ndarray, alpha: np.ndarray = None) -> None:
 
 
 def lpips_fn_or_none():
-    """LPIPS(vgg) needs pretrained torchvision weights; zero-egress
-    environments won't have them — gate gracefully (reference loads it
-    unconditionally at `train.py:50`)."""
+    """LPIPS(vgg) scorer, preferring the TPU-native JAX implementation
+    (`train/lpips_jax.py`, weights via tools/convert_lpips_weights.py)
+    over the torch `lpips` package; None when neither has weights
+    (reference loads it unconditionally at `train.py:50`)."""
+    from horizongs_tpu.train.lpips_jax import lpips_fn
+    fn = lpips_fn()
+    if fn is not None:
+        return fn
     try:
         import torch
         import lpips  # noqa
-        return lpips.LPIPS(net="vgg")
+        model = lpips.LPIPS(net="vgg")
+
+        def score(r, g):
+            with torch.no_grad():
+                return float(model(
+                    torch.tensor(np.asarray(r)).permute(2, 0, 1)[None]
+                    * 2 - 1,
+                    torch.tensor(np.asarray(g)).permute(2, 0, 1)[None]
+                    * 2 - 1))
+        return score
     except Exception:
         return None
 
@@ -50,7 +64,7 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
                scene, state, rasterizer: str = "tiled",
                save_images: bool = True, explicit: bool = False):
     """Render one camera set; returns (renders, gts, per_view_counts,
-    elapsed seconds per view)."""
+    elapsed seconds per view, image types, eval-subset tags)."""
     base = os.path.join(out_dir, name, f"ours_{iteration}")
     render_dir = os.path.join(base, "renders")
     gt_dir = os.path.join(base, "gt")
@@ -59,7 +73,7 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
         for d in (render_dir, gt_dir, err_dir):
             os.makedirs(d, exist_ok=True)
 
-    renders, gts, counts, times, types = [], [], [], [], []
+    renders, gts, counts, times, types, subsets = [], [], [], [], [], []
     fns = {}
     for idx, cam in enumerate(cameras):
         key = (cam.height, cam.width)
@@ -94,6 +108,7 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
         renders.append(np.asarray(img))
         gts.append(np.asarray(gt))
         types.append(cam.image_type)
+        subsets.append(getattr(cam, "subset", ""))
         if save_images:
             stem = f"{idx:05d}"
             save_image(os.path.join(render_dir, stem + ".png"), img,
@@ -104,31 +119,37 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
     if save_images:
         with open(os.path.join(base, "per_view_count.json"), "w") as f:
             json.dump({f"{i:05d}": c for i, c in enumerate(counts)}, f)
-    return renders, gts, counts, times, types
+    return renders, gts, counts, times, types, subsets
 
 
 def evaluate_sets(out_dir: str, iteration: int, renders, gts, types,
-                  lpips_model=None, tag: str = "test"):
+                  lpips_model=None, tag: str = "test", subsets=None):
     """PSNR/SSIM(/LPIPS) per aerial/street split -> results.json
-    (`metrics.py:52-148`, `train.py:520-669`)."""
+    (`metrics.py:52-148`, `train.py:520-669`). When `subsets` carries
+    non-empty tags (UCGS robustness splits: held-out / +0.1m / +0.1m+5°,
+    reference `train.py:542-591`), each subset is reported as its own
+    group alongside aerial/street."""
     per_view = {"PSNR": {}, "SSIM": {}, "LPIPS": {}}
     groups = {"all": [], "aerial": [], "street": []}
-    for i, (r, g, t) in enumerate(zip(renders, gts, types)):
+    if subsets is None:
+        subsets = [""] * len(renders)
+    for sub in subsets:
+        if sub and sub not in groups:
+            groups[sub] = []
+    for i, (r, g, t, sub) in enumerate(zip(renders, gts, types, subsets)):
         p = float(psnr(jnp.asarray(r), jnp.asarray(g)))
         s = float(ssim(jnp.asarray(r), jnp.asarray(g)))
         l = None
         if lpips_model is not None:
-            import torch
-            with torch.no_grad():
-                l = float(lpips_model(
-                    torch.tensor(np.asarray(r)).permute(2, 0, 1)[None] * 2 - 1,
-                    torch.tensor(np.asarray(g)).permute(2, 0, 1)[None] * 2 - 1))
+            l = float(lpips_model(np.asarray(r), np.asarray(g)))
         name = f"{i:05d}"
         per_view["PSNR"][name] = p
         per_view["SSIM"][name] = s
         per_view["LPIPS"][name] = l
         groups["all"].append((p, s, l))
         groups[t].append((p, s, l))
+        if sub:
+            groups[sub].append((p, s, l))
 
     results = {}
     for gname, vals in groups.items():

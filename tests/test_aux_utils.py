@@ -239,3 +239,52 @@ def test_checkpoint_resume_cli(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "point_cloud", "iteration_20",
                                        "point_cloud.ply"))
+
+
+def test_evaluate_sets_robustness_subsets(tmp_path):
+    """UCGS robustness splits are reported as their own result groups
+    (reference slices them by camera index at `train.py:542-591`)."""
+    import numpy as np
+    from horizongs_tpu.train.evaluate import evaluate_sets
+    rng = np.random.default_rng(0)
+    renders = [rng.random((8, 8, 3), dtype=np.float32) for _ in range(6)]
+    gts = [r + rng.normal(0, 0.01 * (1 + i), (8, 8, 3)).astype(np.float32)
+           for i, r in enumerate(renders)]
+    types = ["aerial", "street"] * 3
+    subsets = ["heldout", "heldout", "shift_0.1m", "shift_0.1m",
+               "shift_0.1m_rot_5deg", "shift_0.1m_rot_5deg"]
+    results = evaluate_sets(str(tmp_path), 10, renders, gts, types,
+                            subsets=subsets)
+    for key in ("all", "aerial", "street", "heldout", "shift_0.1m",
+                "shift_0.1m_rot_5deg"):
+        assert key in results and results[key]["n_views"] == (
+            6 if key == "all" else 2 if key != "aerial" and key != "street"
+            else 3)
+    # noisier subsets score lower PSNR, preserving the robustness ordering
+    assert results["heldout"]["PSNR"] > results["shift_0.1m_rot_5deg"]["PSNR"]
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "results_test.json"))
+
+
+def test_lpips_jax_pipeline():
+    """JAX LPIPS: zero self-distance, positive cross-distance, symmetry
+    (pipeline check with random-initialized weights; real scores need the
+    converted pretrained npz, tools/convert_lpips_weights.py)."""
+    import numpy as np
+    from horizongs_tpu.train.lpips_jax import (
+        init_random_weights, lpips_fn, load_weights)
+    assert load_weights("/nonexistent/path.npz") is None
+    params = init_random_weights(0)
+    assert params["conv0_w"].shape == (3, 3, 3, 64)
+    assert params["conv12_w"].shape == (3, 3, 512, 512)
+    assert params["lin4_w"].shape == (512,)
+    fn = lpips_fn(params=params)
+    rng = np.random.default_rng(1)
+    a = rng.random((64, 64, 3), dtype=np.float32)
+    b = rng.random((64, 64, 3), dtype=np.float32)
+    daa = float(fn(a, a))
+    dab = float(fn(a, b))
+    dba = float(fn(b, a))
+    assert abs(daa) < 1e-6
+    assert dab > 1e-6
+    assert abs(dab - dba) < 1e-5

@@ -9,8 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from horizongs_tpu.data.synthetic import lookat_camera, random_gaussians
-from horizongs_tpu.ops.binning import (
-    align_tile_segments, build_tile_instances, tile_spans)
+from horizongs_tpu.ops.binning import build_tile_instances, tile_spans
 from horizongs_tpu.ops.pallas.raster3d import G, TILE_H, TILE_W
 from horizongs_tpu.ops.projection import project_3dgs
 from horizongs_tpu.ops.raster import _make_grid
@@ -50,8 +49,6 @@ def main():
         means2d, radii, depths)
     inst = jax.jit(lambda m, r, d: build_tile_instances(
         m, r, d, ntx, nty, TILE_W, TILE_H, cap))(means2d, radii, depths)
-    timeit("align_tile_segments", jax.jit(
-        lambda i: align_tile_segments(i, n_tiles, align=G)), inst)
 
     # stage timings
     def depth_rank_fn(d, r):
@@ -84,9 +81,37 @@ def main():
     timeit("  inv_perm via scatter", jax.jit(
         lambda p, s: jnp.zeros(cap, jnp.int32).at[p].set(
             s, unique_indices=True, mode="drop")), perm, slots)
-    key64 = key.astype(jnp.int64) << 20 | slots.astype(jnp.int64)
-    timeit("  sort int64 packed CAP", jax.jit(
-        lambda k: jax.lax.sort((k,), num_keys=1)), key64)
+    try:
+        key64 = key.astype(jnp.int64) << 20 | slots.astype(jnp.int64)
+        timeit("  sort int64 packed CAP", jax.jit(
+            lambda k: jax.lax.sort((k,), num_keys=1)), key64)
+    except Exception as e:
+        print(f"  sort int64 packed CAP  skipped ({e})")
+
+    # per-tile segment starts: scatter-add histogram (current) vs
+    # searchsorted over the already-sorted tile ids
+    tile_sorted = jnp.sort(
+        jax.random.randint(jax.random.PRNGKey(0), (cap,), 0, n_tiles + 1,
+                           dtype=jnp.int32))
+
+    def starts_hist(ts):
+        h = jnp.zeros(n_tiles + 2, jnp.int32).at[ts].add(1)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(h[:n_tiles + 1])])[:n_tiles + 1]
+
+    def starts_ss(ts):
+        return jnp.searchsorted(
+            ts, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+
+    s1 = timeit("  tile_starts scatter-hist", jax.jit(starts_hist),
+                tile_sorted)
+    s2 = timeit("  tile_starts searchsorted", jax.jit(starts_ss), tile_sorted)
+    assert jnp.array_equal(s1, s2), "tile_starts mismatch"
+
+    # gather costs
+    vals = jnp.arange(cap, dtype=jnp.int32)
+    timeit("  gather int32 CAP", jax.jit(lambda v, p: v[p]), vals, perm)
 
 
 if __name__ == "__main__":
