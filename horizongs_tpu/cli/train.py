@@ -17,6 +17,9 @@ def main(argv=None):
     parser.add_argument("--model_path", default=None)
     parser.add_argument("--iterations", type=int, default=None)
     parser.add_argument("--save_iterations", type=int, nargs="*", default=None)
+    parser.add_argument("--test_iterations", type=int, nargs="*", default=[],
+                        help="in-train milestone evaluation iterations "
+                        "(reference training_report, train.py:309-383)")
     parser.add_argument("--checkpoint_iterations", type=int, nargs="*",
                         default=[])
     parser.add_argument("--start_checkpoint", default=None,
@@ -88,6 +91,7 @@ def main(argv=None):
                     f"at iteration {ckpt_it}")
     trainer.train(iterations=iterations, save_iterations=save_iters,
                   checkpoint_iterations=set(args.checkpoint_iterations),
+                  test_iterations=set(args.test_iterations),
                   first_iter=first_iter)
 
     if not args.skip_eval:

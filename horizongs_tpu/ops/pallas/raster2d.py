@@ -423,7 +423,7 @@ def rasterize2d_bwd(inst_data, tile_starts, out_starts, ifin, d_acc,
     chunks are uninitialized — mask them when routing."""
     from horizongs_tpu.ops.binning import grad_capacity
     n_tiles = n_tiles_x * n_tiles_y
-    cap = inst_data.shape[1] - G
+    cap = inst_data.shape[1] - 2 * G   # CAP+2G buffer (pair-DMA padding)
     cap_out = grad_capacity(cap, n_tiles, G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

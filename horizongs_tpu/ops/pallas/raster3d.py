@@ -153,12 +153,15 @@ def _pixel_coords(tile_id, n_tiles_x):
 
 
 def _chunk_alpha(buf, px, py, col0, count):
-    """alpha for one chunk. buf: (INST_DIM, G) block; px, py (P, 1).
+    """alpha for one chunk (or a 2G pair). buf: (INST_DIM, W) block with
+    W a multiple of G; px, py (P, 1).
 
     col0 may be negative (floor-aligned chunk base: col0 = i*G - lead);
     columns with col < 0 belong to the previous tile's segment and are
-    masked out. Returns alpha (P,G), lam (P,G), dx, dy (P,G),
-    not_clamped (P,G)."""
+    masked out; columns with col >= count (segment end or beyond the
+    tile's last chunk) are masked too. Returns alpha (P,W), lam (P,W),
+    dx, dy (P,W), not_clamped (P,W)."""
+    width = buf.shape[1]
     mx = buf[0:1, :]
     my = buf[1:2, :]
     a = buf[2:3, :]
@@ -166,12 +169,12 @@ def _chunk_alpha(buf, px, py, col0, count):
     c = buf[4:5, :]
     op = buf[5:6, :]
     one = buf[10:11, :]
-    dx = px - mx                       # (P, G)
+    dx = px - mx                       # (P, W)
     dy = py - my
     sigma = 0.5 * a * dx * dx + b * dx * dy + 0.5 * c * dy * dy
     raw = op * jnp.exp(-sigma)
     alpha = jnp.minimum(raw, MAX_ALPHA)
-    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     valid = (col >= 0) & (col < count) & (one > 0.5)
     alpha = jnp.where((alpha >= ALPHA_CUTOFF) & valid, alpha, 0.0)
     lam = jnp.log1p(-alpha)
@@ -190,51 +193,68 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
     base = (start // G) * G            # floor-aligned chunk base
     lead = start - base
     n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
+    # pair (2-chunk) steps: twice the work per loop iteration gives the
+    # VPU/MXU two independent instruction streams to overlap, hiding the
+    # serial per-chunk dependency latency. A pair's second chunk may lie
+    # beyond the segment — its columns mask to zero via `count`, and the
+    # instance buffer carries 2G of padding so the DMA stays in bounds.
+    n_pairs = pl.cdiv(n_chunks, 2)
 
     px, py = _pixel_coords(t, n_tiles_x)
 
-    def dma(i, slot):
-        off = pl.multiple_of(base + i * G, G)
+    def dma(p, slot):
+        off = pl.multiple_of(base + p * (2 * G), G)
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
+            inst_hbm.at[:, pl.ds(off, 2 * G)], buf.at[slot], sem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_pairs > 0)
     def _():
         dma(0, 0).start()
 
     def cond(carry):
-        i, acc, logT = carry
-        return (i < n_chunks) & (jnp.max(logT) > LOG_T_EPS)
+        p, acc, logT = carry
+        return (p < n_pairs) & (jnp.max(logT) > LOG_T_EPS)
 
     def body(carry):
-        i, acc, logT = carry
-        slot = jax.lax.rem(i, 2)
+        p, acc, logT = carry
+        slot = jax.lax.rem(p, 2)
 
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(p + 1 < n_pairs)
         def _():
-            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+            dma(p + 1, jax.lax.rem(p + 1, 2)).start()
 
-        dma(i, slot).wait()
-        chunk = buf[slot]
-        alpha, lam, _, _, _ = _chunk_alpha(chunk, px, py, i * G - lead,
-                                           count)
-        logT_tot = logT + lane_prefix_excl(lam)             # (P, G)
+        dma(p, slot).wait()
+        pair = buf[slot]                                    # (16, 2G)
+        alpha, lam, _, _, _ = _chunk_alpha(pair, px, py,
+                                           p * (2 * G) - lead, count)
+        lamA = lam[:, :G]
+        lamB = lam[:, G:]
+        sA = jnp.sum(lamA, axis=1, keepdims=True)
+        # per-half prefix scans (same MXU cost as two chunk steps) + the
+        # half-A total carried into half B
+        logT_tot = logT + jnp.concatenate(
+            [lane_prefix_excl(lamA), sA + lane_prefix_excl(lamB)], axis=1)
         w = jnp.where(logT_tot > LOG_T_EPS,
-                      alpha * jnp.exp(logT_tot), 0.0)
-        acc = acc + dot_f32(chunk, w, (((1,), (1,)), ((), ())))  # (16, P)
-        logT = logT + jnp.sum(lam, axis=1, keepdims=True)
-        return i + 1, acc, logT
+                      alpha * jnp.exp(logT_tot), 0.0)       # (P, 2G)
+        acc = acc + dot_f32(pair, w, (((1,), (1,)), ((), ())))  # (16, P)
+        logT = logT + sA + jnp.sum(lamB, axis=1, keepdims=True)
+        return p + 1, acc, logT
 
-    i_fin, acc, logT = jax.lax.while_loop(
+    p_fin, acc, logT = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), jnp.zeros((INST_DIM, P), F32),
          jnp.zeros((P, 1), F32)))
 
     # drain the DMA the last body iteration prefetched but never consumed
-    @pl.when((i_fin < n_chunks) & (n_chunks > 0))
+    @pl.when((p_fin < n_pairs) & (n_pairs > 0))
     def _():
-        dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+        dma(p_fin, jax.lax.rem(p_fin, 2)).wait()
 
+    # chunks composited: both chunks of every processed pair contributed
+    # to logT (a beyond-segment second chunk contributed exactly zero),
+    # so i_fin is even or equals n_chunks — the backward's pair walk and
+    # the wrapper's live-chunk routing mask rely on exactly this.
+    i_fin = jnp.minimum(2 * p_fin, n_chunks)
     acc_ref[0] = acc
     # row 0: final log-transmittance; row 1: chunks composited (i_fin),
     # exact in f32, consumed by the backward's reverse walk
@@ -247,7 +267,7 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
                                              "interpret"))
 def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
                   n_tiles_x: int, n_tiles_y: int, interpret: bool = False):
-    """inst_data (16, CAP+G), tile_starts (n_tiles+1,) ->
+    """inst_data (16, CAP+2G), tile_starts (n_tiles+1,) ->
     (acc (n_tiles, 16, P), logT (n_tiles, 2, P): row 0 log-transmittance,
     row 1 the per-tile composited chunk count i_fin)."""
     n_tiles = n_tiles_x * n_tiles_y
@@ -262,7 +282,7 @@ def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, INST_DIM, G), F32),   # double-buffered chunks
+            pltpu.VMEM((2, INST_DIM, 2 * G), F32),  # double-buffered pairs
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -289,6 +309,11 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
     lead = start - base
     out0 = out_starts[t]
     n_live = ifin[t]      # chunks the forward actually composited
+    # single-chunk reverse walk (unlike the forward's pair steps: the
+    # backward keeps ~15 (P, width) temporaries live, and width=2G would
+    # overflow VMEM and spill). n_live from the pair-stepping forward is
+    # even or equals n_chunks; walking chunks [0, n_live) is exact either
+    # way — a beyond-segment chunk contributes zero via the count mask.
 
     cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
     cp_go.start()
@@ -404,7 +429,7 @@ def rasterize_bwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
     with `slot_chunk < ifin[slot_tile]` when routing."""
     from horizongs_tpu.ops.binning import grad_capacity
     n_tiles = n_tiles_x * n_tiles_y
-    cap = inst_data.shape[1] - G     # CAP+G buffer -> logical capacity
+    cap = inst_data.shape[1] - 2 * G   # CAP+2G buffer -> logical capacity
     cap_out = grad_capacity(cap, n_tiles, G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -50,8 +50,9 @@ N_FIELDS = 10
 
 def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
                    inst_dim: int = INST_DIM) -> jnp.ndarray:
-    """(N, F) fields -> (inst_dim, CAP+G) transposed SoA instance columns
-    (row F = validity flag)."""
+    """(N, F) fields -> (inst_dim, CAP+2G) transposed SoA instance columns
+    (row F = validity flag). 2G of zero padding keeps the kernels' pair
+    (2-chunk) DMAs in bounds for every floor-aligned segment."""
     cap = inst.gauss_id.shape[0]
     n_fields = fields.shape[1]
     gathered = fields[inst.gauss_id]                      # (CAP, F)
@@ -60,8 +61,8 @@ def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
     packed = jnp.concatenate(
         [gathered, one, jnp.zeros((cap, inst_dim - n_fields - 1))], axis=-1)
     packed = jnp.concatenate(
-        [packed, jnp.zeros((G, inst_dim), packed.dtype)], axis=0)
-    return packed.T                                        # (inst_dim, CAP+G)
+        [packed, jnp.zeros((2 * G, inst_dim), packed.dtype)], axis=0)
+    return packed.T                                        # (inst_dim, CAP+2G)
 
 
 def _instance_grads_to_fields(ginst: jnp.ndarray, inst: TileInstances,

@@ -141,8 +141,46 @@ class Trainer:
                         rasterizer=self.rasterizer)
         return np.asarray(pkg["render"])
 
+    def _report(self, it: int, max_views: int = 5) -> dict:
+        """In-train milestone evaluation (`training_report`,
+        `train.py:309-383`): L1/PSNR over a sample of test cameras and
+        every-5th train camera, logged and returned."""
+        from horizongs_tpu.render import render as render_fn
+        from horizongs_tpu.train.losses import l1_loss, psnr
+        from horizongs_tpu.train.optim import mlps_from_params
+        mlps = mlps_from_params(self.state.params)
+        results = {}
+        test = self.scene.get_test_cameras()[:max_views]
+        train = self.scene.get_train_cameras()[::5][:max_views]
+        for name, cams in (("test", test), ("train", train)):
+            if not cams:
+                continue
+            l1s, psnrs = [], []
+            for cam in cams:
+                pkg = render_fn(cam, self.cfg, mlps,
+                                self.state.anchor_state(),
+                                self.scene.background,
+                                add_prefilter=self.pp.add_prefilter,
+                                active_sh_degree=self.active_sh_degree,
+                                rasterizer=self.rasterizer)
+                img = jnp.clip(pkg["render"], 0.0, 1.0)
+                gt = cam.image
+                l1s.append(float(l1_loss(img, gt)))
+                psnrs.append(float(psnr(img, gt)))
+            results[name] = {"l1": float(np.mean(l1s)),
+                             "psnr": float(np.mean(psnrs))}
+            self.log(f"[ITER {it}] Evaluating {name}: "
+                     f"L1 {results[name]['l1']:.4f} "
+                     f"PSNR {results[name]['psnr']:.2f}")
+            if self.wandb is not None:
+                self.wandb.log({f"{name}_l1": results[name]["l1"],
+                                f"{name}_psnr": results[name]["psnr"]},
+                               step=it)
+        return results
+
     def train(self, iterations: Optional[int] = None,
               save_iterations=(), checkpoint_iterations=(),
+              test_iterations=(),
               first_iter: int = 1, progress_every: int = 50):
         op, pp, cfg = self.op, self.pp, self.cfg
         iterations = iterations or op.iterations
@@ -211,6 +249,8 @@ class Trainer:
                 except Exception as e:  # vis must never kill training
                     self.log(f"vis dump failed: {e}")
 
+            if it in test_iterations:
+                self._report(it)
             if it in save_iterations:
                 self.log(f"[ITER {it}] Saving Gaussians")
                 self.scene.save(it, self.state)
