@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--skip_eval", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--disable_tb", action="store_true",
+                        help="skip tensorboard SummaryWriter creation")
     parser.add_argument("--viewer_port", type=int, default=None,
                         help="poll a SIBR remote-GUI client during training "
                         "(reference network_gui, shipped disabled there)")
@@ -72,11 +74,20 @@ def main(argv=None):
         except Exception as e:
             logger.info(f"wandb unavailable: {e}")
 
+    tb_writer = None
+    if not args.disable_tb:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(lp.model_path)
+        except Exception as e:
+            logger.info(f"tensorboard unavailable: {e}")
+
     scene = Scene(lp, cfg, weed_ratio=pp.weed_ratio, logger=logger,
                   seed=args.seed)
     trainer = Trainer(scene.cfg, op, pp, scene, logger=logger,
                       rasterizer=args.rasterizer, seed=args.seed,
-                      wandb_run=wandb_run, viewer_port=args.viewer_port)
+                      wandb_run=wandb_run, viewer_port=args.viewer_port,
+                      tb_writer=tb_writer)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])
@@ -93,6 +104,8 @@ def main(argv=None):
                   checkpoint_iterations=set(args.checkpoint_iterations),
                   test_iterations=set(args.test_iterations),
                   first_iter=first_iter)
+    if tb_writer is not None:
+        tb_writer.close()   # flush buffered scalars
 
     if not args.skip_eval:
         logger.info("Rendering + evaluating test set")

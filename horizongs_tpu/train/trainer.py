@@ -43,7 +43,8 @@ def pick_rasterizer(requested: str = "auto") -> str:
 class Trainer:
     def __init__(self, cfg: ModelConfig, op, pp, scene, logger=None,
                  rasterizer: str = "auto", seed: int = 0,
-                 wandb_run=None, viewer_port: Optional[int] = None):
+                 wandb_run=None, viewer_port: Optional[int] = None,
+                 tb_writer=None):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -53,6 +54,7 @@ class Trainer:
         self.rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
         self.wandb = wandb_run
+        self.tb = tb_writer
         self._steps = {}
         self.state = scene.train_state
         self.active_sh_degree = 0 if cfg.max_sh_degree is not None else None
@@ -176,6 +178,9 @@ class Trainer:
                 self.wandb.log({f"{name}_l1": results[name]["l1"],
                                 f"{name}_psnr": results[name]["psnr"]},
                                step=it)
+            if self.tb is not None:
+                self.tb.add_scalar(f"{name}/l1", results[name]["l1"], it)
+                self.tb.add_scalar(f"{name}/psnr", results[name]["psnr"], it)
         return results
 
     def train(self, iterations: Optional[int] = None,
@@ -222,6 +227,17 @@ class Trainer:
                     self.wandb.log({"train_total_loss": loss,
                                     "psnr": float(metrics["psnr"]),
                                     "anchors": int(self.state.n)}, step=it)
+                if self.tb is not None:
+                    # reference tensorboard scalars (`train.py:309-316`)
+                    self.tb.add_scalar("train/total_loss", loss, it)
+                    self.tb.add_scalar("train/psnr",
+                                       float(metrics["psnr"]), it)
+                    self.tb.add_scalar("train/anchors",
+                                       int(self.state.n), it)
+                    self.tb.add_scalar(
+                        "train/iter_time",
+                        (time.time() - t_start) / max(it - first_iter + 1, 1),
+                        it)
 
             # densification epochs (`train.py:256-273`)
             if op.start_stat < it < op.update_until:
