@@ -230,8 +230,9 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, logT_ref, buf, sem,
         lamA = lam[:, :G]
         lamB = lam[:, G:]
         sA = jnp.sum(lamA, axis=1, keepdims=True)
-        # per-half prefix scans (same MXU cost as two chunk steps) + the
-        # half-A total carried into half B
+        # per-half prefix scans (a full-2G scan would double the scan
+        # matmul FLOPs — measured slower) + the half-A total carried
+        # into half B
         logT_tot = logT + jnp.concatenate(
             [lane_prefix_excl(lamA), sA + lane_prefix_excl(lamB)], axis=1)
         w = jnp.where(logT_tot > LOG_T_EPS,
@@ -310,8 +311,9 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
     out0 = out_starts[t]
     n_live = ifin[t]      # chunks the forward actually composited
     # single-chunk reverse walk (unlike the forward's pair steps: the
-    # backward keeps ~15 (P, width) temporaries live, and width=2G would
-    # overflow VMEM and spill). n_live from the pair-stepping forward is
+    # backward's body keeps ~12 (P, width) f32 temporaries live, and
+    # width=2G overflows the 16MB VMEM budget and spills — measured
+    # slower, not faster). n_live from the pair-stepping forward is
     # even or equals n_chunks; walking chunks [0, n_live) is exact either
     # way — a beyond-segment chunk contributes zero via the count mask.
 
@@ -354,7 +356,7 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
             dma(i - 1, jax.lax.rem(i - 1, 2)).start()
 
         dma(i, slot).wait()
-        chunk = buf[slot]
+        chunk = buf[slot]                                     # (16, G)
         alpha, lam, dx, dy, not_clamped = _chunk_alpha(
             chunk, px, py, i * G - lead, count)
         logT_tot = logT_after - lane_suffix_incl(lam)  # log T before row j
@@ -367,22 +369,36 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
         dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
+        dsig = jnp.where(not_clamped & live, -alpha * dalpha, 0.0)
+
+        # All geometry gradients are column sums of products of dsig with
+        # dx/dy — form the minimal product set (5 muls: u = dx·dsig,
+        # v = dy·dsig, dx·u, dy·u, dy·v) and reduce each over pixels,
+        # then combine per gaussian in O(G). This replaces the naive
+        # ~17 (P,·) VPU ops of forming each gradient separately, with no
+        # recombination cancellation (every sum is exact in its own
+        # right, same error profile as the elementwise original).
+        u = dx * dsig
+        v = dy * dsig
+        s0 = jnp.sum(dsig, axis=0, keepdims=True)
+        cx = jnp.sum(u, axis=0, keepdims=True)         # Σ dx·dsig
+        cy = jnp.sum(v, axis=0, keepdims=True)         # Σ dy·dsig
+        sxu = jnp.sum(dx * u, axis=0, keepdims=True)   # Σ dx²·dsig
+        syu = jnp.sum(dy * u, axis=0, keepdims=True)   # Σ dx·dy·dsig
+        syv = jnp.sum(dy * v, axis=0, keepdims=True)   # Σ dy²·dsig
 
         a = chunk[2:3, :]
         b = chunk[3:4, :]
         c = chunk[4:5, :]
         op = chunk[5:6, :]
-        exp_neg_sigma = jnp.where(op > 0, alpha / jnp.maximum(op, 1e-12), 0.0)
-        dsig = jnp.where(not_clamped & live, -alpha * dalpha, 0.0)
-        dop = jnp.where(not_clamped & live, exp_neg_sigma * dalpha, 0.0)
-
-        gmx = -jnp.sum((a * dx + b * dy) * dsig, axis=0, keepdims=True)
-        gmy = -jnp.sum((b * dx + c * dy) * dsig, axis=0, keepdims=True)
-        ga = jnp.sum(0.5 * dx * dx * dsig, axis=0, keepdims=True)
-        gb = jnp.sum(dx * dy * dsig, axis=0, keepdims=True)
-        gc = jnp.sum(0.5 * dy * dy * dsig, axis=0, keepdims=True)
-        gop = jnp.sum(dop, axis=0, keepdims=True)
-        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))        # (16, G)
+        gmx = -(a * cx + b * cy)
+        gmy = -(b * cx + c * cy)
+        ga = 0.5 * sxu
+        gb = syu
+        gc = 0.5 * syv
+        # dop = (alpha/op)·dalpha = -dsig/op  (masked identically to dsig)
+        gop = jnp.where(op > 0, -s0 / jnp.maximum(op, 1e-12), 0.0)
+        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))       # (16, G)
         zero = jnp.zeros((1, G), F32)
 
         # reuse of this gbuf slot: make sure its previous write landed
