@@ -39,8 +39,17 @@ def main():
     bg = jnp.zeros(3)
 
     if on_tpu:
-        from horizongs_tpu.ops.raster_pallas import rasterize_pallas_3dgs
-        cap = 6 * n
+        from horizongs_tpu.ops.raster_pallas import (
+            count_instances_3dgs, rasterize_pallas_3dgs)
+        # calibrate the static instance capacity to the scene (the
+        # binning/assembly/routing stages scale with it; gsplat sizes
+        # its instance list exactly per frame — this is the static-shape
+        # analog, 2% pad + G rounding)
+        n_inst = int(jax.jit(count_instances_3dgs,
+                             static_argnames=("width", "height"))(
+            g["means"], g["quats"], g["scales"], g["opacities"],
+            cam.viewmat, cam.K, width=W, height=H))
+        cap = -(-int(n_inst * 1.02) // 128) * 128
 
         def loss(m, s, o, c):
             r, _, _ = rasterize_pallas_3dgs(
@@ -56,15 +65,24 @@ def main():
                 render_mode="RGB+ED", chunk=512)
             return jnp.mean(r ** 2)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    # chain each iteration on the previous gradients (zero-scaled,
+    # inside the jit — eager glue ops over a remote TPU tunnel cost
+    # ~ms each): real training steps are sequential, and chaining
+    # prevents the runtime from eliding repeated identical dispatches
+    def step_fn(m, s, o, c, chain):
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            m + chain * 0.0, s, o, c)
+        return grads, grads[0][0, 0]
+
+    step = jax.jit(step_fn)
     args = (g["means"], g["scales"], g["opacities"], g["colors"])
-    out = step(*args)
+    out, chain = step(*args, jnp.float32(0))
     jax.block_until_ready(out)
 
     iters = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(iters):
-        out = step(*args)
+        out, chain = step(*args, chain)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
 

@@ -310,6 +310,48 @@ def save_partitions(partitions: Dict, pcd: BasicPointCloud, out_dir: str,
     return path
 
 
+def draw_partitions(partitions: Dict, pcd: BasicPointCloud, out_path: str,
+                    plane=(0, 1), max_points: int = 200_000) -> Optional[str]:
+    """Partition overview plot (`utils/partition_utils.py:213-259`):
+    decimated point cloud, per-chunk expanded bounds (colored rects),
+    true bounds (dashed), and camera centers per chunk. Best-effort —
+    returns None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Rectangle
+    except ImportError:
+        return None
+    u, v = plane
+    pts = pcd.points
+    if len(pts) > max_points:
+        pts = pts[:: len(pts) // max_points]
+    fig, ax = plt.subplots(figsize=(10, 10))
+    ax.scatter(pts[:, u], pts[:, v], s=0.2, c="lightgray", linewidths=0)
+    cmap = plt.get_cmap("tab20")
+    for i, (pid, part) in enumerate(sorted(partitions.items())):
+        color = cmap(i % 20)
+        for key, style in (("bounds", "-"), ("true_bounds", "--")):
+            (xlo, xhi), (ylo, yhi) = part[key]
+            ax.add_patch(Rectangle((xlo, ylo), xhi - xlo, yhi - ylo,
+                                   fill=False, edgecolor=color,
+                                   linestyle=style, linewidth=1.5))
+        centers = np.asarray([c.center for c in part["cameras"]])
+        if len(centers):
+            ax.scatter(centers[:, u], centers[:, v], s=6, color=color,
+                       linewidths=0)
+        (xlo, xhi), (ylo, yhi) = part["true_bounds"]
+        ax.text(0.5 * (xlo + xhi), 0.5 * (ylo + yhi), pid, color=color,
+                ha="center", va="center", fontsize=10, weight="bold")
+    ax.set_aspect("equal")
+    ax.set_title(f"{len(partitions)} chunks "
+                 f"(solid: expanded bounds, dashed: true bounds)")
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def frames_angle(frames):
     return frames[0].get("camera_angle_x") if frames else None
 
@@ -353,4 +395,6 @@ def run_partition(pcd: BasicPointCloud, infos: List[CameraInfo],
     parts = expand_bounds(parts, pcd, cams, overlap_area, plane)
     parts = visibility_selection(parts, pcd, visible_rate)
     save_partitions(parts, pcd, out_dir, source_path, frames, visible_rate)
+    draw_partitions(parts, pcd, os.path.join(out_dir, "partitions.png"),
+                    plane=plane)
     return parts

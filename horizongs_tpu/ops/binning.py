@@ -58,18 +58,43 @@ class TileInstances(NamedTuple):
     slot_tile: jnp.ndarray    # (CAP,) int32 owning tile (clipped)
 
 
-def tile_spans(means2d: jnp.ndarray, radii: jnp.ndarray,
+def tile_spans(means2d: jnp.ndarray, rx: jnp.ndarray, ry: jnp.ndarray,
                n_tiles_x: int, n_tiles_y: int, tile_w: int, tile_h: int):
-    """Inclusive tile index ranges covered by each gaussian's AABB."""
-    x0 = jnp.floor((means2d[:, 0] - radii) / tile_w).astype(jnp.int32)
-    x1 = jnp.floor((means2d[:, 0] + radii) / tile_w).astype(jnp.int32)
-    y0 = jnp.floor((means2d[:, 1] - radii) / tile_h).astype(jnp.int32)
-    y1 = jnp.floor((means2d[:, 1] + radii) / tile_h).astype(jnp.int32)
+    """Inclusive tile index ranges covered by each gaussian's AABB
+    (per-axis half-extents rx/ry; pass the same array twice for a
+    circle)."""
+    x0 = jnp.floor((means2d[:, 0] - rx) / tile_w).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + rx) / tile_w).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - ry) / tile_h).astype(jnp.int32)
+    y1 = jnp.floor((means2d[:, 1] + ry) / tile_h).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, n_tiles_x - 1)
     x1 = jnp.clip(x1, 0, n_tiles_x - 1)
     y0 = jnp.clip(y0, 0, n_tiles_y - 1)
     y1 = jnp.clip(y1, 0, n_tiles_y - 1)
     return x0, x1, y0, y1
+
+
+def ellipse_extents(conics: jnp.ndarray, opacities: jnp.ndarray,
+                    alpha_cutoff: float = 1.0 / 255.0):
+    """Per-axis half-extents of the alpha >= cutoff region and the sigma
+    threshold tau.
+
+    The compositor zeroes alpha = op*exp(-sigma) below the cutoff, i.e.
+    keeps sigma <= tau := ln(op/cutoff). With sigma = ½ dᵀQd (Q = conic
+    [[a,b],[b,c]], PSD after the eps2d low-pass), that region is the
+    ellipse with AABB half-extents sqrt(2·tau·c/det), sqrt(2·tau·a/det).
+    Like `cull_radius` this is LOSSLESS w.r.t. the compositor's cutoff —
+    and strictly tighter for anisotropic splats, whose bounding circle
+    (max eigenvalue) over-covers by the axis ratio."""
+    a = conics[:, 0]
+    b = conics[:, 1]
+    c = conics[:, 2]
+    tau = jnp.log(jnp.clip(opacities, 1e-12, None) / alpha_cutoff)
+    tau = jnp.clip(tau, 0.0, None)
+    det = jnp.clip(a * c - b * b, 1e-12, None)
+    rx = jnp.sqrt(2.0 * tau * c / det)
+    ry = jnp.sqrt(2.0 * tau * a / det)
+    return rx, ry, tau
 
 
 def cull_radius(radii: jnp.ndarray, opacities: jnp.ndarray,
@@ -92,12 +117,48 @@ def cull_radius(radii: jnp.ndarray, opacities: jnp.ndarray,
     return radii * factor
 
 
+def count_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
+                         n_tiles_x: int, n_tiles_y: int,
+                         tile_w: int, tile_h: int,
+                         conics=None, opacities=None) -> jnp.ndarray:
+    """Number of (gaussian, tile) instance slots the AABB spans enumerate
+    — exactly the count `build_tile_instances` needs capacity for (its
+    rect-ellipse/circle test culls *within* the enumerated slots, so the
+    span count is the right capacity measure). O(N), jittable; use with
+    `raster_pallas.suggest_instance_cap` to calibrate the static cap
+    instead of the worst-case default. Pass the same conics/opacities as
+    `build_tile_instances` to match its (tighter) ellipse spans."""
+    if conics is not None:
+        rx, ry, _ = ellipse_extents(conics, opacities)
+        rx = jnp.where(radii > 0, rx, 0.0)
+        ry = jnp.where(radii > 0, ry, 0.0)
+    else:
+        rx = ry = radii
+    x0, x1, y0, y1 = tile_spans(means2d, rx, ry, n_tiles_x, n_tiles_y,
+                                tile_w, tile_h)
+    n_cover = jnp.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    return jnp.sum(n_cover)
+
+
 def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
                          depths: jnp.ndarray, n_tiles_x: int, n_tiles_y: int,
-                         tile_w: int, tile_h: int, cap: int) -> TileInstances:
+                         tile_w: int, tile_h: int, cap: int,
+                         conics=None, opacities=None) -> TileInstances:
+    """With `conics`+`opacities` (3DGS): spans come from the exact
+    alpha-cutoff ellipse AABB and candidates are pruned with an exact
+    rect-ellipse test — both lossless w.r.t. the compositor's cutoff and
+    strictly tighter than the bounding circle for anisotropic splats
+    (fewer instances -> every downstream sort/gather/kernel chunk
+    shrinks). Without them: circle spans + rect-circle test (`radii`)."""
     n_tiles = n_tiles_x * n_tiles_y
     N = means2d.shape[0]
     valid_g = radii > 0
+    if conics is not None:
+        ell_rx, ell_ry, ell_tau = ellipse_extents(conics, opacities)
+        span_rx = jnp.where(valid_g, ell_rx, 0.0)
+        span_ry = jnp.where(valid_g, ell_ry, 0.0)
+    else:
+        span_rx = span_ry = radii
 
     # 1) depth-rank the gaussians once (N keys, cheap) so the instance sort
     #    can use a single fused integer key instead of a lexicographic
@@ -110,8 +171,8 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     _, depth_rank = jax.lax.sort((depth_order, iota_n), num_keys=1)
     depth_rank = jnp.minimum(depth_rank, (1 << rank_bits) - 1)
 
-    x0, x1, y0, y1 = tile_spans(means2d, radii, n_tiles_x, n_tiles_y,
-                                tile_w, tile_h)
+    x0, x1, y0, y1 = tile_spans(means2d, span_rx, span_ry, n_tiles_x,
+                                n_tiles_y, tile_w, tile_h)
     wspan = (x1 - x0 + 1)
     n_cover = jnp.where(valid_g, wspan * (y1 - y0 + 1), 0)   # (N,)
 
@@ -126,13 +187,18 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     g = jnp.cumsum(hist[:cap]).astype(jnp.int32)
     g = jnp.clip(g, 0, N - 1)
     # one stacked gather: separate 1-channel gathers cost ~3ms each on TPU
-    table = jnp.stack([offs.astype(jnp.float32),
-                       n_cover.astype(jnp.float32),
-                       x0.astype(jnp.float32), y0.astype(jnp.float32),
-                       wspan.astype(jnp.float32),
-                       depth_rank.astype(jnp.float32),
-                       means2d[:, 0], means2d[:, 1], radii], axis=1)
-    got = table[g].astype(jnp.float32)                        # (cap, 9)
+    cols = [offs.astype(jnp.float32),
+            n_cover.astype(jnp.float32),
+            x0.astype(jnp.float32), y0.astype(jnp.float32),
+            wspan.astype(jnp.float32),
+            depth_rank.astype(jnp.float32),
+            means2d[:, 0], means2d[:, 1]]
+    if conics is not None:
+        cols += [conics[:, 0], conics[:, 1], conics[:, 2], ell_tau]
+    else:
+        cols += [radii]
+    table = jnp.stack(cols, axis=1)
+    got = table[g].astype(jnp.float32)                        # (cap, 9|12)
     start = got[:, 0].astype(jnp.int32) - got[:, 1].astype(jnp.int32)
     local = slots - start
     w = jnp.maximum(got[:, 4].astype(jnp.int32), 1)
@@ -143,17 +209,49 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     tx = got[:, 2].astype(jnp.int32) + (local - q * w)
     ty = got[:, 3].astype(jnp.int32) + q
     valid_slot = slots < total
-    # exact rect-circle test: the square AABB span keeps corner tiles the
-    # splat's cull circle never touches (~21% of candidates). Distance
-    # from the tile rectangle to the projected center vs the cull radius
-    # is exact w.r.t. the alpha cutoff when `radii` comes through
-    # `cull_radius`.
-    mx, my, r = got[:, 6], got[:, 7], got[:, 8]
+    mx, my = got[:, 6], got[:, 7]
     rx0 = (tx * tile_w).astype(jnp.float32)
     ry0 = (ty * tile_h).astype(jnp.float32)
-    ddx = mx - jnp.clip(mx, rx0, rx0 + tile_w)
-    ddy = my - jnp.clip(my, ry0, ry0 + tile_h)
-    hit = (ddx * ddx + ddy * ddy) <= r * r
+    if conics is not None:
+        # exact rect-ellipse test: min of sigma = ½(a·dx² + 2b·dx·dy +
+        # c·dy²) over the tile rectangle vs tau. The minimum is 0 when
+        # the center lies inside; otherwise it is on one of the four
+        # edges, where the 1D quadratic minimizer clamps to the edge
+        # range. A splat this rejects has alpha < cutoff at every pixel
+        # of the tile — the compositor would zero it anyway (lossless).
+        a, b, c = got[:, 8], got[:, 9], got[:, 10]
+        tau = got[:, 11]
+        xlo, xhi = rx0 - mx, rx0 + tile_w - mx
+        ylo, yhi = ry0 - my, ry0 + tile_h - my
+
+        def q(dx, dy):
+            return 0.5 * a * dx * dx + b * dx * dy + 0.5 * c * dy * dy
+
+        def edge_x(X):
+            ys = jnp.clip(-b * X / jnp.maximum(c, 1e-12), ylo, yhi)
+            return q(X, ys)
+
+        def edge_y(Y):
+            xs = jnp.clip(-b * Y / jnp.maximum(a, 1e-12), xlo, xhi)
+            return q(xs, Y)
+
+        qmin = jnp.minimum(jnp.minimum(edge_x(xlo), edge_x(xhi)),
+                           jnp.minimum(edge_y(ylo), edge_y(yhi)))
+        inside = (xlo <= 0) & (xhi >= 0) & (ylo <= 0) & (yhi >= 0)
+        qmin = jnp.where(inside, 0.0, qmin)
+        # small sigma slack absorbs f32 roundoff in qmin vs the kernel's
+        # alpha evaluation (a borderline splat is worth <= cutoff alpha)
+        hit = qmin <= tau + 1e-3
+    else:
+        # exact rect-circle test: the square AABB span keeps corner
+        # tiles the splat's cull circle never touches (~21% of
+        # candidates). Distance from the tile rectangle to the center
+        # vs the cull radius is exact w.r.t. the alpha cutoff when
+        # `radii` comes through `cull_radius`.
+        r = got[:, 8]
+        ddx = mx - jnp.clip(mx, rx0, rx0 + tile_w)
+        ddy = my - jnp.clip(my, ry0, ry0 + tile_h)
+        hit = (ddx * ddx + ddy * ddy) <= r * r
     valid_slot = valid_slot & hit
     tile_id = jnp.where(valid_slot, ty * n_tiles_x + tx, n_tiles)
 

@@ -368,8 +368,10 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         wdw = w * dw
         S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
-        dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
-        dsig = jnp.where(not_clamped & live, -alpha * dalpha, 0.0)
+        # -alpha·dalpha folded: alpha·(T·dw - S_after/(1-alpha)) =
+        # w·dw - S_after·alpha/(1-alpha), reusing wdw
+        dsig = jnp.where(not_clamped & live,
+                         S_after * (alpha / (1.0 - alpha)) - wdw, 0.0)
 
         # All geometry gradients are column sums of products of dsig with
         # dx/dy — form the minimal product set (5 muls: u = dx·dsig,

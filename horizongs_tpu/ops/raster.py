@@ -141,7 +141,9 @@ def rasterize_tiled_3dgs(
     radii = cull_radius(proj.radii, opacities)
     inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
-                                tile_w, tile_h, cap)
+                                tile_w, tile_h, cap,
+                                conics=jax.lax.stop_gradient(proj.conics),
+                                opacities=jax.lax.stop_gradient(opacities))
 
     lx, ly = _local_pixel_coords(grid)
     n_tiles = grid.n_tiles

@@ -20,6 +20,7 @@ using the forward's per-tile live-chunk count.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -30,6 +31,7 @@ from jax.dtypes import float0
 from horizongs_tpu.ops.binning import (
     TileInstances,
     build_tile_instances,
+    count_tile_instances,
     cull_radius,
 )
 from horizongs_tpu.ops.pallas.raster3d import (
@@ -46,6 +48,55 @@ from horizongs_tpu.ops.raster import _make_grid, _tiles_to_image
 from horizongs_tpu.ops.reference import _sh_colors
 
 N_FIELDS = 10
+
+
+def suggest_instance_cap(n_instances: int, margin: float = 1.25) -> int:
+    """Round a measured instance count up to a geometric capacity bucket
+    (4 buckets per octave, <=~19% spacing, G-aligned). Static capacities
+    trigger one recompile per bucket; geometric spacing bounds both the
+    recompile count and the padding overhead. Use with
+    `binning.count_tile_instances` / `count_instances_3dgs` — every
+    binning/assembly/routing stage scales with the capacity, so a
+    calibrated cap is ~25-35% cheaper per step than the 4N default
+    (gsplat sizes its instance list exactly per frame; this is the
+    static-shape analog)."""
+    need = max(int(math.ceil(n_instances * margin)), G)
+    k = max(int(math.ceil(4 * math.log2(need / G))), 0)
+    cap = int(math.ceil(G * 2 ** (k / 4)))
+    return -(-cap // G) * G
+
+
+def count_instances_3dgs(means, quats, scales, opacities, viewmat, K,
+                         width: int, height: int,
+                         eps2d: float = 0.3) -> jnp.ndarray:
+    """Instance count the 3DGS wrapper below will enumerate for this
+    view (projection + lossless opacity cull + AABB tile spans). Cheap
+    and jittable; feed the max over sample views to
+    `suggest_instance_cap`."""
+    grid = _make_grid(width, height, TILE_W, TILE_H)
+    proj = project_3dgs(means, quats, scales, viewmat, K, width, height,
+                        eps2d=eps2d)
+    radii = jnp.where(opacities >= 1.0 / 255.0,
+                      cull_radius(proj.radii, opacities), 0.0)
+    return count_tile_instances(proj.means2d, radii, grid.n_tiles_x,
+                                grid.n_tiles_y, TILE_W, TILE_H,
+                                conics=proj.conics, opacities=opacities)
+
+
+def count_instances_2dgs(means, quats, scales, opacities, viewmat, K,
+                         width: int, height: int) -> jnp.ndarray:
+    """2DGS analog of `count_instances_3dgs` (matches the 2D wrapper's
+    cull radius incl. its low-pass guard)."""
+    from horizongs_tpu.ops.pallas.raster2d import (
+        TILE_H as TILE_H2, TILE_W as TILE_W2)
+    from horizongs_tpu.ops.projection import project_2dgs
+    grid = _make_grid(width, height, TILE_W2, TILE_H2)
+    proj = project_2dgs(means, quats, scales, viewmat, K, width, height)
+    radii = jnp.where(opacities >= 1.0 / 255.0,
+                      cull_radius(proj.radii, opacities, guard_px=2.2),
+                      0.0)
+    return count_tile_instances(proj.means2d, radii, grid.n_tiles_x,
+                                grid.n_tiles_y, TILE_W2, TILE_H2)
 
 
 def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
@@ -156,7 +207,9 @@ def rasterize_pallas_3dgs(
                       cull_radius(proj.radii, opacities), 0.0)
     inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
                                 proj.depths, grid.n_tiles_x, grid.n_tiles_y,
-                                TILE_W, TILE_H, cap)
+                                TILE_W, TILE_H, cap,
+                                conics=jax.lax.stop_gradient(proj.conics),
+                                opacities=jax.lax.stop_gradient(opacities))
 
     fields = jnp.concatenate([
         means2d, proj.conics, opacities[:, None], rgb, proj.depths[:, None],

@@ -55,7 +55,14 @@ def render(cam: Camera,
            add_prefilter: bool = True,
            active_sh_degree: Optional[int] = None,
            means2d_probe: Optional[jnp.ndarray] = None,
-           rasterizer: str = "dense") -> dict:
+           rasterizer: str = "dense",
+           instance_cap: Optional[int] = None) -> dict:
+    """`instance_cap`: static (gaussian, tile) instance capacity for the
+    tiled/pallas backends (default: the wrappers' worst-case 4N). Use
+    `ops.raster_pallas.count_instances_3dgs` + `suggest_instance_cap` to
+    calibrate per scene/resolution — the binning/routing stages scale
+    with it. Overflow is counted, never silent (`info["n_dropped"]`,
+    surfaced as `pkg["n_dropped"]`)."""
     anchor_mask, smooth = anchor_lod_mask(cfg, state, cam.cam_center,
                                           cam.resolution_scale)
     if add_prefilter:
@@ -106,11 +113,12 @@ def render(cam: Camera,
             raise ValueError(f"Unknown gs_attr: {cfg.gs_attr}")
     elif rasterizer == "tiled":
         from horizongs_tpu.ops.raster import render_tiled
+        cap_kw = {} if instance_cap is None else {"cap": instance_cap}
         out, alphas, info, extras = render_tiled(
             cfg.gs_attr, dec.means, dec.quats, dec.scales, dec.opacities,
             colors, cam.viewmat, cam.K, cam.width, cam.height, background,
             sh_degree=sh_degree, render_mode=cfg.render_mode,
-            means2d_override=probe)
+            means2d_override=probe, **cap_kw)
     elif rasterizer in ("pallas", "pallas_interpret"):
         interp = rasterizer == "pallas_interpret"
         if cfg.gs_attr == "3D":
@@ -119,7 +127,7 @@ def render(cam: Camera,
                 dec.means, dec.quats, dec.scales, dec.opacities, colors,
                 cam.viewmat, cam.K, cam.width, cam.height, background,
                 sh_degree=sh_degree, render_mode=cfg.render_mode,
-                means2d_override=probe, interpret=interp)
+                means2d_override=probe, cap=instance_cap, interpret=interp)
             extras = {}
         else:
             from horizongs_tpu.ops.raster_pallas import rasterize_pallas_2dgs
@@ -128,7 +136,8 @@ def render(cam: Camera,
                     dec.means, dec.quats, dec.scales, dec.opacities, colors,
                     cam.viewmat, cam.K, cam.width, cam.height, background,
                     sh_degree=sh_degree, render_mode=cfg.render_mode,
-                    means2d_override=probe, interpret=interp)
+                    means2d_override=probe, cap=instance_cap,
+                    interpret=interp)
             extras = {"render_normals": normals,
                       "render_normals_from_depth": normals_fd,
                       "render_distort": distort,
@@ -152,6 +161,36 @@ def render(cam: Camera,
         "radii": info["radii"],                # (C*k,)
         "visibility_filter": info["radii"] > 0,
         "means2d": info["means2d"],
+        # tiled/pallas backends: instances beyond the static capacity
+        # (0 for the dense oracle, which has no capacity)
+        "n_dropped": info.get("n_dropped", jnp.zeros((), jnp.int32)),
+        "n_instances": info.get("n_instances", jnp.zeros((), jnp.int32)),
     }
     pkg.update(extras)
     return pkg
+
+
+def count_render_instances(cam: Camera,
+                           cfg: ModelConfig,
+                           mlps: MlpParams,
+                           state: AnchorState,
+                           add_prefilter: bool = True) -> jnp.ndarray:
+    """Tile-instance count the pallas/tiled backends will enumerate for
+    this view with the current model state: LOD mask -> decode ->
+    projection + lossless cull + AABB spans. Jit this and take the max
+    over a few sample cameras to calibrate `render(instance_cap=...)`
+    via `ops.raster_pallas.suggest_instance_cap` — the binning, instance
+    assembly, and gradient-routing stages all scale with the capacity."""
+    from horizongs_tpu.ops.raster_pallas import (
+        count_instances_2dgs, count_instances_3dgs)
+    anchor_mask, smooth = anchor_lod_mask(cfg, state, cam.cam_center,
+                                          cam.resolution_scale)
+    if add_prefilter:
+        anchor_mask = prefilter_anchors(cfg, state, cam, anchor_mask)
+    dec = decode_neural_gaussians(cfg, mlps, state, cam.cam_center,
+                                  anchor_mask, smooth,
+                                  appearance_id=jnp.asarray(cam.uid))
+    counter = (count_instances_2dgs if cfg.gs_attr == "2D"
+               else count_instances_3dgs)
+    return counter(dec.means, dec.quats, dec.scales, dec.opacities,
+                   cam.viewmat, cam.K, cam.width, cam.height)

@@ -174,7 +174,8 @@ def build_train_step(cfg: ModelConfig, opt, height: int, width: int,
                      rasterizer: str = "dense",
                      active_sh_degree: Optional[int] = None,
                      background=None,
-                     frozen_appearance: bool = False):
+                     frozen_appearance: bool = False,
+                     instance_cap: Optional[int] = None):
     """Returns a jitted fn(state, cam: CameraTensors, iteration) ->
     (state', metrics dict)."""
     bg = background if background is not None else jnp.zeros(3)
@@ -193,7 +194,8 @@ def build_train_step(cfg: ModelConfig, opt, height: int, width: int,
         pkg = render(camera, cfg, mlps_from_params(params), astate, bg,
                      add_prefilter=add_prefilter,
                      active_sh_degree=active_sh_degree,
-                     means2d_probe=probe, rasterizer=rasterizer)
+                     means2d_probe=probe, rasterizer=rasterizer,
+                     instance_cap=instance_cap)
         depth_w = expon_lr(iteration, opt.depth_l1_weight_init,
                            opt.depth_l1_weight_final,
                            max_steps=opt.iterations) * cam.has_depth
@@ -204,7 +206,8 @@ def build_train_step(cfg: ModelConfig, opt, height: int, width: int,
                 "selection_mask": pkg["selection_mask"],
                 "anchor_mask": pkg["visible_mask"],
                 "radii": pkg["radii"],
-                "render": pkg["render"]}
+                "render": pkg["render"],
+                "n_dropped": pkg["n_dropped"]}
         return loss, (aux, side)
 
     def step(state: TrainState, cam: CameraTensors, iteration):
@@ -231,7 +234,8 @@ def build_train_step(cfg: ModelConfig, opt, height: int, width: int,
                    "depth_l1": aux["depth_l1"],
                    "psnr": psnr(side["render"] * cam.alpha_mask,
                                 cam.image * cam.alpha_mask),
-                   "n_selected": jnp.sum(side["selection_mask"])}
+                   "n_selected": jnp.sum(side["selection_mask"]),
+                   "n_dropped": side["n_dropped"]}
         new_state = TrainState(params=new_params, rotation=state.rotation,
                                level=state.level,
                                extra_level=state.extra_level, n=state.n,

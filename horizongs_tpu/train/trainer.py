@@ -18,6 +18,7 @@ combination compiles one step.
 """
 from __future__ import annotations
 
+import functools
 import os
 import random
 import time
@@ -56,6 +57,7 @@ class Trainer:
         self.wandb = wandb_run
         self.tb = tb_writer
         self._steps = {}
+        self._cap_margin = 1.25
         self.state = scene.train_state
         self.active_sh_degree = 0 if cfg.max_sh_degree is not None else None
         if scene.stage == "fine":
@@ -66,10 +68,47 @@ class Trainer:
             self.viewer = ViewerServer(port=viewer_port)
             self.log(f"viewer listening on :{self.viewer.bound_port}")
 
+    def _calibrate_cap(self, H, W, samples: int = 6):
+        """Calibrated tile-instance capacity for (H, W): max measured
+        count over sample train views x margin, rounded to a geometric
+        bucket (gsplat sizes its instance list exactly per frame; this
+        is the static-shape analog — the binning/routing stages scale
+        with the capacity, so the worst-case default wastes ~30%)."""
+        if self.rasterizer not in ("pallas", "pallas_interpret", "tiled"):
+            return None
+        from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
+        from horizongs_tpu.render import count_render_instances
+        from horizongs_tpu.train.optim import mlps_from_params
+        cams = [c for c in self.scene.get_train_cameras()
+                if (c.height, c.width) == (H, W)]
+        if not cams:
+            return None
+        cams = cams[:: max(len(cams) // samples, 1)][:samples]
+
+        @functools.partial(jax.jit, static_argnames=("uid",))
+        def counter(viewmat, K, cam_center, res_scale, uid, mlps, astate):
+            from horizongs_tpu.core.cameras import Camera
+            cam = Camera(viewmat=viewmat, K=K, width=W, height=H,
+                         cam_center=cam_center, uid=uid,
+                         resolution_scale=res_scale)
+            return count_render_instances(
+                cam, self.cfg, mlps, astate,
+                add_prefilter=self.pp.add_prefilter)
+
+        mlps = mlps_from_params(self.state.params)
+        astate = self.state.anchor_state()
+        n = max(int(counter(c.viewmat, c.K, c.cam_center,
+                            c.resolution_scale, c.uid, mlps, astate))
+                for c in cams)
+        return suggest_instance_cap(n, margin=self._cap_margin)
+
     def _step_fn(self, H, W):
         key = (H, W, self.state.params.anchor.shape[0],
                self.active_sh_degree)
         if key not in self._steps:
+            cap = self._calibrate_cap(H, W)
+            if cap is not None:
+                self.log(f"instance capacity for {W}x{H}: {cap}")
             self._steps[key] = build_train_step(
                 self.cfg, self.op, H, W,
                 spatial_lr_scale=self.scene.cameras_extent,
@@ -79,7 +118,8 @@ class Trainer:
                 active_sh_degree=self.active_sh_degree,
                 background=self.scene.background,
                 frozen_appearance=getattr(self.scene, "frozen_appearance",
-                                          False))
+                                          False),
+                instance_cap=cap)
         return self._steps[key]
 
     def _pick_camera(self, stacks):
@@ -216,6 +256,16 @@ class Trainer:
                 densify_cnt += 1
 
             loss = float(metrics["loss"])
+            dropped = int(metrics.get("n_dropped", 0))
+            if dropped > 0:
+                # calibrated capacity overflowed (anchors grew/moved):
+                # widen the margin and rebuild the step functions — the
+                # overflow is counted, never silent
+                self._cap_margin *= 1.5
+                self._steps.clear()
+                self.log(f"[it {it}] {dropped} tile instances dropped — "
+                         f"recalibrating capacity "
+                         f"(margin {self._cap_margin:.2f})")
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it > first_iter else loss
             history.append(loss)
             if it % progress_every == 0 or it == iterations:

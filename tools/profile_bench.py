@@ -51,8 +51,10 @@ def main():
     proj = timeit("project_3dgs", proj_fn, g["means"], g["quats"], g["scales"])
 
     bin_fn = jax.jit(lambda m2d, r, d: build_tile_instances(
-        m2d, r, d, grid.n_tiles_x, grid.n_tiles_y, TILE_W, TILE_H, cap))
+        m2d, r, d, grid.n_tiles_x, grid.n_tiles_y, TILE_W, TILE_H, cap,
+        conics=co, opacities=op))
     radii = jnp.where(g["opacities"] >= 1 / 255.0, proj.radii, 0.0)
+    co, op = proj.conics, g["opacities"]
     inst = timeit("binning", bin_fn, proj.means2d, radii, proj.depths)
     print(f"   instances: {int(inst.n_instances)} dropped: {int(inst.n_dropped)}")
 

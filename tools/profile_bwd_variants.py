@@ -215,9 +215,10 @@ def main():
         m, q, s, cam.viewmat, cam.K, W, H))(g["means"], g["quats"],
                                             g["scales"])
     radii = jnp.where(g["opacities"] >= 1 / 255.0, proj.radii, 0.0)
+    co, op = proj.conics, g["opacities"]
     inst = jax.jit(lambda m, r, d: build_tile_instances(
         m, r, d, grid.n_tiles_x, grid.n_tiles_y, TILE_W, TILE_H,
-        cap))(proj.means2d, radii, proj.depths)
+        cap, conics=co, opacities=op))(proj.means2d, radii, proj.depths)
     fields = jnp.concatenate([
         proj.means2d, proj.conics, g["opacities"][:, None], g["colors"],
         proj.depths[:, None]], axis=-1)

@@ -36,9 +36,10 @@ def main():
         m, q, s, cam.viewmat, cam.K, W, H))(g["means"], g["quats"],
                                             g["scales"])
     radii = jnp.where(g["opacities"] >= 1 / 255.0, proj.radii, 0.0)
+    co, op = proj.conics, g["opacities"]
     inst = jax.jit(lambda m, r, d: build_tile_instances(
         m, r, d, grid.n_tiles_x, grid.n_tiles_y, TILE_W, TILE_H,
-        cap))(proj.means2d, radii, proj.depths)
+        cap, conics=co, opacities=op))(proj.means2d, radii, proj.depths)
     n_tiles = grid.n_tiles_x * grid.n_tiles_y
     cap_out = grad_capacity(cap, n_tiles, G)
     key = jax.random.PRNGKey(0)
