@@ -160,17 +160,6 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     else:
         span_rx = span_ry = radii
 
-    # 1) depth-rank the gaussians once (N keys, cheap) so the instance sort
-    #    can use a single fused integer key instead of a lexicographic
-    #    (tile, f32 depth) sort — ~2x fewer sorted bytes, one sort operand.
-    rank_bits = max(31 - max(n_tiles + 1, 2).bit_length(), 1)
-    iota_n = jnp.arange(N, dtype=jnp.int32)
-    _, depth_order = jax.lax.sort(
-        (jnp.where(valid_g, depths, jnp.inf), iota_n), num_keys=1)
-    # invert the order with a second small sort (a scatter would serialize)
-    _, depth_rank = jax.lax.sort((depth_order, iota_n), num_keys=1)
-    depth_rank = jnp.minimum(depth_rank, (1 << rank_bits) - 1)
-
     x0, x1, y0, y1 = tile_spans(means2d, span_rx, span_ry, n_tiles_x,
                                 n_tiles_y, tile_w, tile_h)
     wspan = (x1 - x0 + 1)
@@ -191,7 +180,7 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
             n_cover.astype(jnp.float32),
             x0.astype(jnp.float32), y0.astype(jnp.float32),
             wspan.astype(jnp.float32),
-            depth_rank.astype(jnp.float32),
+            depths.astype(jnp.float32),
             means2d[:, 0], means2d[:, 1]]
     if conics is not None:
         cols += [conics[:, 0], conics[:, 1], conics[:, 2], ell_tau]
@@ -255,11 +244,14 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     valid_slot = valid_slot & hit
     tile_id = jnp.where(valid_slot, ty * n_tiles_x + tx, n_tiles)
 
-    # fused key: tile in the high bits, depth rank in the low bits
-    rank_slot = got[:, 5].astype(jnp.int32)
-    key = (tile_id << rank_bits) | jnp.where(valid_slot, rank_slot, 0)
-    key_sorted, g_sorted, perm = jax.lax.sort((key, g, slots), num_keys=1)
-    tile_sorted = (key_sorted >> rank_bits).astype(jnp.int32)
+    # lexicographic (tile, depth) sort: the raw f32 depth bits are an
+    # ascending int32 key for positive floats, so no depth pre-ranking
+    # pass is needed (a two-key sort costs ~15% more than a fused-key
+    # one-key sort, but the N-sized argsort+rank pair it replaces costs
+    # ~4x that). Invalid slots carry tile_id == n_tiles -> sorted last.
+    depth_bits = jax.lax.bitcast_convert_type(got[:, 5], jnp.int32)
+    tile_sorted, _, g_sorted, perm = jax.lax.sort(
+        (tile_id, depth_bits, g, slots), num_keys=2)
     valid_sorted = tile_sorted < n_tiles
 
     # inverse permutation via a second radix sort (scatter would serialize)
