@@ -130,13 +130,16 @@ def _instance_grads_to_fields(ginst: jnp.ndarray, inst: TileInstances,
     n_slots = inst.inv_perm.shape[0]
     live = ((jnp.arange(cap, dtype=jnp.int32) < inst.n_instances)
             & (inst.slot_chunk < ifin[inst.slot_tile]))
-    gu = ginst[:n_fields, :].T[inst.grad_slot]            # pre-sort slot order
-    gu = jnp.where(live[:, None], gu, 0.0)
-    csum = jnp.cumsum(gu, axis=0)
-    csum = jnp.concatenate([jnp.zeros((1, n_fields)), csum], axis=0)
+    # all in the kernel's transposed (F, CAP) layout: the lane-axis
+    # gather + cumsum avoid materializing the (CAP_OUT, F) transpose
+    gu = jnp.take(ginst[:n_fields, :], inst.grad_slot, axis=1)  # (F, CAP)
+    gu = jnp.where(live[None, :], gu, 0.0)
+    csum = jnp.cumsum(gu, axis=1)
+    csum = jnp.concatenate([jnp.zeros((n_fields, 1)), csum], axis=1)
     ends = jnp.clip(inst.gauss_offsets, 0, n_slots)
     starts = jnp.clip(inst.gauss_offsets - inst.gauss_cover, 0, n_slots)
-    return csum[ends] - csum[starts]                       # (N, F)
+    return (jnp.take(csum, ends, axis=1)
+            - jnp.take(csum, starts, axis=1)).T            # (N, F)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
