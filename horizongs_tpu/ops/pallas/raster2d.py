@@ -341,13 +341,15 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         wdw = w * dw
         S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
-        dalpha = jnp.where(live, T * dw - S_after / (1.0 - alpha), 0.0)
-
-        op = it["op"]
-        exp_half = jnp.where(op > 0, alpha / jnp.maximum(op, 1e-12), 0.0)
         gate = it["not_clamped"] & live
-        dop_pg = jnp.where(gate, exp_half * dalpha, 0.0)
-        drho = jnp.where(gate, -0.5 * alpha * dalpha, 0.0)
+        # alpha·dalpha folded via wdw (see raster3d):
+        #   alpha·(T·dw - S_after/(1-alpha)) = wdw - S_after·alpha/(1-alpha)
+        adalpha = jnp.where(gate,
+                            wdw - S_after * (alpha / (1.0 - alpha)), 0.0)
+        op = it["op"]
+        # dop = (alpha/op)·dalpha = adalpha/op
+        dop_pg = jnp.where(op > 0, adalpha / jnp.maximum(op, 1e-12), 0.0)
+        drho = -0.5 * adalpha
 
         use3d = it["use3d"]
         du = jnp.where(use3d, 2.0 * u * drho, 0.0) + dz * M3x
