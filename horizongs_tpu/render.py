@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from horizongs_tpu.core.cameras import Camera
@@ -170,6 +171,9 @@ def render(cam: Camera,
     return pkg
 
 
+_COUNTERS: dict = {}
+
+
 def count_render_instances(cam: Camera,
                            cfg: ModelConfig,
                            mlps: MlpParams,
@@ -177,20 +181,38 @@ def count_render_instances(cam: Camera,
                            add_prefilter: bool = True) -> jnp.ndarray:
     """Tile-instance count the pallas/tiled backends will enumerate for
     this view with the current model state: LOD mask -> decode ->
-    projection + lossless cull + AABB spans. Jit this and take the max
-    over a few sample cameras to calibrate `render(instance_cap=...)`
-    via `ops.raster_pallas.suggest_instance_cap` — the binning, instance
-    assembly, and gradient-routing stages all scale with the capacity."""
-    from horizongs_tpu.ops.raster_pallas import (
-        count_instances_2dgs, count_instances_3dgs)
-    anchor_mask, smooth = anchor_lod_mask(cfg, state, cam.cam_center,
-                                          cam.resolution_scale)
-    if add_prefilter:
-        anchor_mask = prefilter_anchors(cfg, state, cam, anchor_mask)
-    dec = decode_neural_gaussians(cfg, mlps, state, cam.cam_center,
-                                  anchor_mask, smooth,
-                                  appearance_id=jnp.asarray(cam.uid))
-    counter = (count_instances_2dgs if cfg.gs_attr == "2D"
-               else count_instances_3dgs)
-    return counter(dec.means, dec.quats, dec.scales, dec.opacities,
-                   cam.viewmat, cam.K, cam.width, cam.height)
+    projection + lossless cull + AABB spans. Take the max over a few
+    sample cameras to calibrate `render(instance_cap=...)` via
+    `ops.raster_pallas.suggest_instance_cap` — the binning, instance
+    assembly, and gradient-routing stages all scale with the capacity.
+    Jits internally per (cfg, resolution); cameras carry non-array
+    fields, so only their array leaves cross the jit boundary."""
+    import functools
+
+    key = (cfg, cam.width, cam.height, add_prefilter)
+    if key not in _COUNTERS:
+        from horizongs_tpu.ops.raster_pallas import (
+            count_instances_2dgs, count_instances_3dgs)
+        width, height = cam.width, cam.height
+
+        @functools.partial(jax.jit, static_argnames=("uid",))
+        def counter(viewmat, K, cam_center, res_scale, uid, mlps, state):
+            camera = Camera(viewmat=viewmat, K=K, width=width,
+                            height=height, cam_center=cam_center,
+                            uid=uid, resolution_scale=res_scale)
+            anchor_mask, smooth = anchor_lod_mask(cfg, state, cam_center,
+                                                  res_scale)
+            if add_prefilter:
+                anchor_mask = prefilter_anchors(cfg, state, camera,
+                                                anchor_mask)
+            dec = decode_neural_gaussians(cfg, mlps, state, cam_center,
+                                          anchor_mask, smooth,
+                                          appearance_id=jnp.asarray(uid))
+            count = (count_instances_2dgs if cfg.gs_attr == "2D"
+                     else count_instances_3dgs)
+            return count(dec.means, dec.quats, dec.scales, dec.opacities,
+                         viewmat, K, width, height)
+
+        _COUNTERS[key] = counter
+    return _COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
+                          cam.resolution_scale, int(cam.uid), mlps, state)

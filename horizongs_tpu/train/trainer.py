@@ -84,22 +84,11 @@ class Trainer:
         if not cams:
             return None
         cams = cams[:: max(len(cams) // samples, 1)][:samples]
-
-        @functools.partial(jax.jit, static_argnames=("uid",))
-        def counter(viewmat, K, cam_center, res_scale, uid, mlps, astate):
-            from horizongs_tpu.core.cameras import Camera
-            cam = Camera(viewmat=viewmat, K=K, width=W, height=H,
-                         cam_center=cam_center, uid=uid,
-                         resolution_scale=res_scale)
-            return count_render_instances(
-                cam, self.cfg, mlps, astate,
-                add_prefilter=self.pp.add_prefilter)
-
         mlps = mlps_from_params(self.state.params)
         astate = self.state.anchor_state()
-        n = max(int(counter(c.viewmat, c.K, c.cam_center,
-                            c.resolution_scale, c.uid, mlps, astate))
-                for c in cams)
+        n = max(int(count_render_instances(
+                c, self.cfg, mlps, astate,
+                add_prefilter=self.pp.add_prefilter)) for c in cams)
         return suggest_instance_cap(n, margin=self._cap_margin)
 
     def _step_fn(self, H, W):
