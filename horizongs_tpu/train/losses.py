@@ -35,31 +35,61 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 _WINDOW = _gaussian_window()
 
 
-def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 11x11 gaussian blur of an HWC image (separable)."""
-    H, W, C = img.shape
-    k = window.shape[0]
+def _trunc_bf16(v):
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
+def _dot3(a, b, dims):
+    """~f32-accurate dot from three default-precision passes (bf16x3
+    split) — TPU MXU matmuls round operands to bf16 at DEFAULT, and
+    HIGHEST costs 2x this."""
+    import functools
+    a_hi, b_hi = _trunc_bf16(a), _trunc_bf16(b)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b - b_hi) + d(a - a_hi, b_hi)
+
+
+def _blur_band(n: int, sigma: float = 1.5, k: int = 11) -> jnp.ndarray:
+    """(n, n) banded gaussian-blur matrix, zero padded at the borders —
+    exactly the separable depthwise conv the reference uses, expressed
+    as a matmul so it runs on the MXU (a (C,1,H,W) depthwise conv at
+    1080p costs ~18 ms on TPU; two banded matmuls cost ~3 ms). Built
+    from iota on device: no multi-MB weight constants in the
+    executable."""
     pad = k // 2
-    x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
-    wrow = jnp.asarray(window).reshape(1, 1, 1, k)
-    wcol = jnp.asarray(window).reshape(1, 1, k, 1)
-    x = jax.lax.conv_general_dilated(x, wrow, (1, 1),
-                                     [(0, 0), (pad, pad)])
-    x = jax.lax.conv_general_dilated(x, wcol, (1, 1),
-                                     [(pad, pad), (0, 0)])
-    return jnp.moveaxis(x[:, 0], 0, -1)
+    xs = np.arange(k) - pad
+    norm = float(np.exp(-(xs ** 2) / (2 * sigma ** 2)).sum())
+    d = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+         - jax.lax.broadcasted_iota(jnp.int32, (n, n), 0))
+    g = jnp.exp(-(d.astype(jnp.float32) ** 2) / (2 * sigma ** 2))
+    return jnp.where(jnp.abs(d) <= pad, g, 0.0) / norm
+
+
+def _blur5(img1: jnp.ndarray, img2: jnp.ndarray):
+    """Gaussian-blur the five SSIM moment images in one batched pair of
+    banded matmuls. Returns (mu1, mu2, m11, m22, m12), each HWC."""
+    H, W, C = img1.shape
+    X = jnp.concatenate([img1, img2, img1 * img1, img2 * img2,
+                         img1 * img2], axis=-1)            # (H, W, 5C)
+    Bw = _blur_band(W)
+    Bh = _blur_band(H)
+    Y = _dot3(X, Bw, (((1,), (0,)), ((), ())))             # (H, 5C, W)
+    Z = _dot3(Y, Bh, (((0,), (0,)), ((), ())))             # (5C, W, H)
+    Z = jnp.transpose(Z, (2, 1, 0))                        # (H, W, 5C)
+    return jnp.split(Z, 5, axis=-1)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
     """Mean SSIM over an HWC pair, same window/constants as the reference."""
-    w = jnp.asarray(_WINDOW)
-    mu1 = _filter2d_separable(img1, w)
-    mu2 = _filter2d_separable(img2, w)
+    mu1, mu2, m11, m22, m12 = _blur5(img1, img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d_separable(img1 * img1, w) - mu1_sq
-    sigma2_sq = _filter2d_separable(img2 * img2, w) - mu2_sq
-    sigma12 = _filter2d_separable(img1 * img2, w) - mu12
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu12
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
     return jnp.mean(ssim_map)
