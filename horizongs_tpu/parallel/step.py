@@ -84,9 +84,16 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                              add_prefilter: bool = True,
                              active_sh_degree: Optional[int] = None,
                              background=None,
-                             raster_chunk: int = 512):
+                             raster_chunk: int = 512,
+                             rasterizer: str = "tiled",
+                             instance_cap: Optional[int] = None):
     """Returns fn(state, cams: CameraTensors (n_data-batched), iteration)
-    -> (state', metrics). Anchor capacity must divide the model axis."""
+    -> (state', metrics). Anchor capacity must divide the model axis.
+
+    `rasterizer`: "tiled" (scan backend, CPU-testable) or "pallas" /
+    "pallas_interpret" (the TPU kernels; shard_map runs them per device
+    on that device's all-gathered gaussians). `instance_cap` calibrates
+    the static tile-instance capacity (see `render.count_render_instances`)."""
     bg = background if background is not None else jnp.zeros(3)
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -138,12 +145,23 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
 
             proj = project_3dgs(means, quats, scales, camera.viewmat,
                                 camera.K, width, height)
-            render, alphas, info = rasterize_tiled_3dgs(
-                means, quats, scales, opac, colors, camera.viewmat,
-                camera.K, width, height, bg, sh_degree=sh_deg,
-                render_mode=cfg.render_mode,
-                means2d_override=proj.means2d + probe,
-                chunk=raster_chunk)
+            if rasterizer in ("pallas", "pallas_interpret"):
+                from horizongs_tpu.ops.raster_pallas import (
+                    rasterize_pallas_3dgs)
+                render, alphas, info = rasterize_pallas_3dgs(
+                    means, quats, scales, opac, colors, camera.viewmat,
+                    camera.K, width, height, bg, sh_degree=sh_deg,
+                    render_mode=cfg.render_mode,
+                    means2d_override=proj.means2d + probe,
+                    cap=instance_cap,
+                    interpret=rasterizer == "pallas_interpret")
+            else:
+                render, alphas, info = rasterize_tiled_3dgs(
+                    means, quats, scales, opac, colors, camera.viewmat,
+                    camera.K, width, height, bg, sh_degree=sh_deg,
+                    render_mode=cfg.render_mode,
+                    means2d_override=proj.means2d + probe,
+                    chunk=raster_chunk)
             if render.shape[-1] == 4:
                 image, depth = render[..., :3], render[..., 3:4]
             else:

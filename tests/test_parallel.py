@@ -111,3 +111,32 @@ def test_sharded_training_4x2_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
     # stats accumulated on shards
     assert float(jnp.sum(ts.stats.anchor_demon)) > 0
+
+
+def test_sharded_step_pallas_rasterizer():
+    """The Pallas kernels run per device inside shard_map (interpret mode
+    on the CPU mesh) and agree with the scan-backend sharded step."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(2)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+
+    step_t = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                      add_prefilter=False)
+    st_t, m_t = step_t(shard_state(jax.tree.map(jnp.copy, ts), mesh),
+                       _stack_cams(cams[:2]), 1)
+
+    step_p = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                      add_prefilter=False,
+                                      rasterizer="pallas_interpret",
+                                      instance_cap=4096)
+    st_p, m_p = step_p(shard_state(ts, mesh), _stack_cams(cams[:2]), 1)
+
+    assert float(m_p["loss"]) == pytest.approx(float(m_t["loss"]), rel=2e-3)
+    np.testing.assert_allclose(np.asarray(st_p.params.anchor),
+                               np.asarray(st_t.params.anchor), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_p.params.feat),
+                               np.asarray(st_t.params.feat), atol=1e-4)
