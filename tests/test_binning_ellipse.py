@@ -100,3 +100,18 @@ def test_ellipse_extents_bounded_by_circle(scene):
     assert np.all(np.asarray(rx)[keep] <= r[keep] * (1 + 1e-4))
     assert np.all(np.asarray(ry)[keep] <= r[keep] * (1 + 1e-4))
     assert np.all(np.asarray(tau)[keep] >= 0)
+
+
+def test_suggest_instance_cap_buckets():
+    from horizongs_tpu.ops.raster_pallas import G, suggest_instance_cap
+    # G-aligned, >= margin * n, bounded overhead, monotone
+    prev = 0
+    for n in (1, 100, 5_000, 123_456, 1_000_000, 7_777_777):
+        cap = suggest_instance_cap(n, margin=1.25)
+        assert cap % G == 0
+        assert cap >= 1.25 * n
+        assert cap <= 1.25 * n * 1.2 + G   # <=~19% bucket spacing + align
+        assert cap >= prev
+        prev = cap
+    # bucketing: nearby counts share a capacity (bounds recompiles)
+    assert (suggest_instance_cap(100_000) == suggest_instance_cap(101_000))
