@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--viewer_port", type=int, default=None,
                         help="poll a SIBR remote-GUI client during training "
                         "(reference network_gui, shipped disabled there)")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler device trace of N "
+                        "training steps (starting at iteration 20) into "
+                        "<model_path>/profile/ for TensorBoard")
     args = parser.parse_args(argv)
 
     from horizongs_tpu.cli.common import get_logger, load_config
@@ -87,7 +91,9 @@ def main(argv=None):
     trainer = Trainer(scene.cfg, op, pp, scene, logger=logger,
                       rasterizer=args.rasterizer, seed=args.seed,
                       wandb_run=wandb_run, viewer_port=args.viewer_port,
-                      tb_writer=tb_writer)
+                      tb_writer=tb_writer,
+                      profile_steps=(20, args.profile) if args.profile
+                      else None)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])

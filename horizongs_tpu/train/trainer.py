@@ -45,7 +45,8 @@ class Trainer:
     def __init__(self, cfg: ModelConfig, op, pp, scene, logger=None,
                  rasterizer: str = "auto", seed: int = 0,
                  wandb_run=None, viewer_port: Optional[int] = None,
-                 tb_writer=None):
+                 tb_writer=None,
+                 profile_steps: Optional[tuple] = None):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -58,6 +59,11 @@ class Trainer:
         self.tb = tb_writer
         self._steps = {}
         self._cap_margin = 1.25
+        # (first_iter, n_steps): capture a jax.profiler device trace of
+        # n_steps training iterations into <model_path>/profile/
+        # (the TPU analog of the reference's CUDA-event iter timing,
+        # `train.py:96-97` — but a full XLA/TensorBoard trace)
+        self.profile_steps = profile_steps
         self.state = scene.train_state
         self.active_sh_degree = 0 if cfg.max_sh_degree is not None else None
         if scene.stage == "fine":
@@ -233,6 +239,18 @@ class Trainer:
                     and self.scene.stage != "fine"
                     and self.active_sh_degree < cfg.max_sh_degree):
                 self.active_sh_degree += 1
+
+            if self.profile_steps is not None:
+                p0, pn = self.profile_steps
+                if it == p0:
+                    trace_dir = os.path.join(self.scene.model_path,
+                                             "profile")
+                    self.log(f"profiler trace start -> {trace_dir}")
+                    jax.profiler.start_trace(trace_dir)
+                elif it == p0 + pn:
+                    jax.block_until_ready(self.state.params.anchor)
+                    jax.profiler.stop_trace()
+                    self.log("profiler trace stopped")
 
             cam = self._pick_camera(stacks)
             do_stats = (op.start_stat < it < op.update_until) and (
