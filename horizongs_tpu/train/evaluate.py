@@ -78,17 +78,31 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
     for idx, cam in enumerate(cameras):
         key = (cam.height, cam.width)
         if key not in fns:
+            cap = None
+            if not explicit and rasterizer in ("pallas", "pallas_interpret",
+                                               "tiled"):
+                # calibrate the tile-instance capacity for this resolution
+                # (binning/routing scale with it; the 4N default wastes ~2x)
+                from horizongs_tpu.render import count_render_instances
+                from horizongs_tpu.ops.raster_pallas import (
+                    suggest_instance_cap)
+                n = int(count_render_instances(
+                    cam, cfg, mlps_from_params(state.params),
+                    state.anchor_state(),
+                    add_prefilter=getattr(scene, "add_prefilter", True)))
+                cap = suggest_instance_cap(n, margin=1.5)
             if explicit:
                 fns[key] = jax.jit(lambda vm, K, cc, st, c=cam: render_explicit(
                     c._replace(viewmat=vm, K=K, cam_center=cc), cfg, st,
                     scene.background, rasterizer=rasterizer))
             else:
                 mlps = mlps_from_params(state.params)
-                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam, m=mlps: render_fn(
+                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam, m=mlps,
+                                   cp=cap: render_fn(
                     c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
                     cfg, m, ast, scene.background,
                     add_prefilter=getattr(scene, "add_prefilter", True),
-                    rasterizer=rasterizer))
+                    rasterizer=rasterizer, instance_cap=cp))
         t0 = time.time()
         if explicit:
             pkg = fns[key](cam.viewmat, cam.K, cam.cam_center, state)
@@ -96,6 +110,27 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
         else:
             pkg = fns[key](cam.viewmat, cam.K, cam.cam_center,
                            jnp.asarray(cam.uid), state.anchor_state())
+            while int(pkg.get("n_dropped", 0)) > 0:
+                # this view overflowed the calibrated capacity:
+                # recalibrate from it (x1.5 margin) and re-render —
+                # evaluation must never drop instances silently
+                from horizongs_tpu.render import count_render_instances
+                from horizongs_tpu.ops.raster_pallas import (
+                    suggest_instance_cap)
+                n = int(count_render_instances(
+                    cam, cfg, mlps_from_params(state.params),
+                    state.anchor_state(),
+                    add_prefilter=getattr(scene, "add_prefilter", True)))
+                cap = suggest_instance_cap(n, margin=1.5)
+                mlps = mlps_from_params(state.params)
+                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam,
+                                   m=mlps, cp=cap: render_fn(
+                    c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
+                    cfg, m, ast, scene.background,
+                    add_prefilter=getattr(scene, "add_prefilter", True),
+                    rasterizer=rasterizer, instance_cap=cp))
+                pkg = fns[key](cam.viewmat, cam.K, cam.cam_center,
+                               jnp.asarray(cam.uid), state.anchor_state())
             vis = pkg["selection_mask"]
         img = jax.block_until_ready(pkg["render"])
         times.append(time.time() - t0)
