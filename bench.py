@@ -87,8 +87,10 @@ def main():
     dt = (time.time() - t0) / iters
 
     rays_per_sec = RAYS / dt
+    metric = ("rays_per_sec_fwd_bwd_1080p" if on_tpu
+              else "rays_per_sec_fwd_bwd_256x144_cpu_fallback")
     print(json.dumps({
-        "metric": "rays_per_sec_fwd_bwd_1080p",
+        "metric": metric,
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 2_073_600, 3),

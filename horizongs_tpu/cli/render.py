@@ -44,7 +44,9 @@ def main(argv=None):
         logger.info(f"Rendering {name} set ({len(cams)} views)")
         renders, gts, counts, times, types, subsets = render_set(
             args.model_path, name, scene.loaded_iter, cams, scene.cfg,
-            scene, state, rasterizer=rasterizer, explicit=args.explicit)
+            scene, state, rasterizer=rasterizer, explicit=args.explicit,
+            add_prefilter=not (int(getattr(pp, "no_prefilter_step", 0)
+                                   or 0) > 0))
         fps = len(times) / max(sum(times), 1e-9)
         logger.info(f"{name}: {fps:.2f} views/s, "
                     f"mean visible GS {sum(counts)/len(counts):.0f}")

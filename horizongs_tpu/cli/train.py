@@ -15,6 +15,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Train a Horizon-GS TPU model")
     parser.add_argument("--config", required=True)
     parser.add_argument("--model_path", default=None)
+    parser.add_argument("--source_path", default=None,
+                        help="override model_params.source_path (lets the "
+                        "shipped configs/ templates run on any dataset "
+                        "location)")
     parser.add_argument("--iterations", type=int, default=None)
     parser.add_argument("--save_iterations", type=int, nargs="*", default=None)
     parser.add_argument("--test_iterations", type=int, nargs="*", default=[],
@@ -50,6 +54,8 @@ def main(argv=None):
         evaluate_sets, lpips_fn_or_none, render_set)
 
     lp, op, pp, cfg = load_config(args.config, args.model_path)
+    if args.source_path is not None:
+        lp.source_path = args.source_path
     if args.iterations is not None:
         op.iterations = args.iterations
     logger = get_logger("train", lp.model_path)
@@ -118,7 +124,11 @@ def main(argv=None):
         cams = scene.get_test_cameras() or scene.get_train_cameras()
         renders, gts, counts, times, types, subsets = render_set(
             lp.model_path, "test", iterations, cams, scene.cfg, scene,
-            trainer.state, rasterizer=trainer.rasterizer)
+            trainer.state, rasterizer=trainer.rasterizer,
+            # reference render_sets: prefilter off iff no_prefilter_step
+            # was used in training (`train.py:478-484`)
+            add_prefilter=not (int(getattr(pp, "no_prefilter_step", 0)
+                                   or 0) > 0))
         results = evaluate_sets(lp.model_path, iterations, renders, gts,
                                 types, lpips_model=lpips_fn_or_none(),
                                 subsets=subsets)

@@ -287,13 +287,21 @@ def weed_out_mask(cfg: ModelConfig, positions: np.ndarray, levels: np.ndarray,
     """
     if weed_ratio <= 0 or len(cam_infos) == 0:
         return np.ones(positions.shape[0], dtype=bool)
-    count = np.zeros(positions.shape[0], dtype=np.int64)
+    N = positions.shape[0]
+    count = np.zeros(N, dtype=np.int64)
     logfork = math.log2(cfg.fork)
-    for cam in cam_infos:
-        center, scale = cam[:3], cam[3]
-        dist = np.clip(np.linalg.norm(positions - center[None], axis=1) * scale,
+    cam_infos = np.asarray(cam_infos, dtype=np.float32)
+    # broadcast over camera batches (one (B, N) distance matrix each) —
+    # a per-camera Python loop costs M passes of interpreter overhead at
+    # every fine-stage grow; batch size bounds the matrix at ~64MB
+    batch = max(1, int(16_000_000 // max(N, 1)))
+    for s in range(0, len(cam_infos), batch):
+        centers = cam_infos[s:s + batch, :3]                 # (B, 3)
+        scales = cam_infos[s:s + batch, 3:4]                 # (B, 1)
+        d = positions[None, :, :] - centers[:, None, :]      # (B, N, 3)
+        dist = np.clip(np.sqrt(np.einsum("bnd,bnd->bn", d, d)) * scales,
                        1e-8, None)
-        pred = np.log2(cfg.standard_dist / dist) / logfork
+        pred = np.log2(cfg.standard_dist / dist) / logfork   # (B, N)
         if cfg.dist2level == "floor":
             int_level = np.clip(np.floor(pred), 0, cfg.street_levels - 1)
         elif cfg.dist2level == "round":
@@ -303,6 +311,6 @@ def weed_out_mask(cfg: ModelConfig, positions: np.ndarray, levels: np.ndarray,
         else:  # progressive
             p = np.clip(pred + 1.0, 0.9999, cfg.street_levels - 1 + 0.9999)
             int_level = np.floor(p)
-        count += (levels <= int_level)
+        count += (levels[None, :] <= int_level).sum(axis=0)
     frac = count / float(len(cam_infos))
     return frac > weed_ratio

@@ -57,13 +57,18 @@ def render(cam: Camera,
            active_sh_degree: Optional[int] = None,
            means2d_probe: Optional[jnp.ndarray] = None,
            rasterizer: str = "dense",
-           instance_cap: Optional[int] = None) -> dict:
+           instance_cap: Optional[int] = None,
+           scaling_modifier: float = 1.0) -> dict:
     """`instance_cap`: static (gaussian, tile) instance capacity for the
     tiled/pallas backends (default: the wrappers' worst-case 4N). Use
     `ops.raster_pallas.count_instances_3dgs` + `suggest_instance_cap` to
     calibrate per scene/resolution — the binning/routing stages scale
     with it. Overflow is counted, never silent (`info["n_dropped"]`,
-    surfaced as `pkg["n_dropped"]`)."""
+    surfaced as `pkg["n_dropped"]`).
+
+    `scaling_modifier`: multiplies decoded gaussian scales before
+    rasterization (the viewer's splat-size slider; reference threads it
+    as `scaling_modifier` into gsplat, `render.py:38,98`)."""
     anchor_mask, smooth = anchor_lod_mask(cfg, state, cam.cam_center,
                                           cam.resolution_scale)
     if add_prefilter:
@@ -72,6 +77,8 @@ def render(cam: Camera,
     dec = decode_neural_gaussians(cfg, mlps, state, cam.cam_center,
                                   anchor_mask, smooth,
                                   appearance_id=jnp.asarray(cam.uid))
+    if scaling_modifier != 1.0:
+        dec = dec._replace(scales=dec.scales * scaling_modifier)
 
     if cfg.color_attr == "RGB":
         colors = dec.colors

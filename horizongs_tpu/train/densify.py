@@ -50,14 +50,23 @@ def _scatter_max_by_group(values: np.ndarray, groups: np.ndarray,
     return out
 
 
+def _rows_as_void(a: np.ndarray) -> np.ndarray:
+    """(N, 3) int64 rows -> (N,) void keys (byte-wise row equality)."""
+    a = np.ascontiguousarray(a)
+    return a.view(np.dtype((np.void, a.dtype.itemsize * a.shape[1])))[:, 0]
+
+
 def _dedup_against(existing: np.ndarray, candidates: np.ndarray) -> np.ndarray:
     """True for candidate grid coords already present in `existing`
-    (`get_remove_duplicates`, `basic_model.py:179-190`)."""
+    (`get_remove_duplicates`, `basic_model.py:179-190`).
+
+    Sort-based membership on packed row keys: O((E+C) log(E+C)) numpy
+    work — the reference does this as a GPU float-matmul coordinate
+    compare; a Python set over `.tolist()` rows would dominate the
+    densify epoch at city scale (10^6+ anchors)."""
     if existing.shape[0] == 0 or candidates.shape[0] == 0:
         return np.zeros(candidates.shape[0], dtype=bool)
-    ex = {tuple(r) for r in existing.tolist()}
-    return np.fromiter((tuple(r) in ex for r in candidates.tolist()),
-                       dtype=bool, count=candidates.shape[0])
+    return np.isin(_rows_as_void(candidates), _rows_as_void(existing))
 
 
 def _grow_flat(cfg: ModelConfig, opt, live: dict, grads_norm: np.ndarray,

@@ -57,14 +57,25 @@ def lpips_fn_or_none():
                     * 2 - 1))
         return score
     except Exception:
+        import sys
+        print("WARNING: LPIPS unavailable (no JAX VGG weights under "
+              "HGS_LPIPS_WEIGHTS / ~/.cache/horizongs_tpu, no torch lpips "
+              "package) — results.json will report LPIPS: null. Convert "
+              "weights with tools/convert_lpips_weights.py.",
+              file=sys.stderr, flush=True)
         return None
 
 
 def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
                scene, state, rasterizer: str = "tiled",
-               save_images: bool = True, explicit: bool = False):
+               save_images: bool = True, explicit: bool = False,
+               add_prefilter: Optional[bool] = None):
     """Render one camera set; returns (renders, gts, per_view_counts,
-    elapsed seconds per view, image types, eval-subset tags)."""
+    elapsed seconds per view, image types, eval-subset tags).
+
+    `add_prefilter=None` defaults to the scene's flag; the train CLI
+    passes `not (no_prefilter_step > 0)` per the reference's
+    `render_sets` (`train.py:478-484`)."""
     base = os.path.join(out_dir, name, f"ours_{iteration}")
     render_dir = os.path.join(base, "renders")
     gt_dir = os.path.join(base, "gt")
@@ -72,9 +83,31 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
     if save_images:
         for d in (render_dir, gt_dir, err_dir):
             os.makedirs(d, exist_ok=True)
+    if add_prefilter is None:
+        add_prefilter = getattr(scene, "add_prefilter", True)
+
+    def _make_fn(cam, cap):
+        # MLP weights ride as arguments, not closure constants — baking
+        # them in would re-embed the full tables into every compiled
+        # (H, W) executable and every recalibration
+        return jax.jit(lambda vm, K, cc, uid, ast, m, c=cam,
+                       cp=cap: render_fn(
+            c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
+            cfg, m, ast, scene.background,
+            add_prefilter=add_prefilter,
+            rasterizer=rasterizer, instance_cap=cp))
+
+    def _calibrate(cam):
+        from horizongs_tpu.render import count_render_instances
+        from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
+        n = int(count_render_instances(
+            cam, cfg, mlps_from_params(state.params),
+            state.anchor_state(), add_prefilter=add_prefilter))
+        return suggest_instance_cap(n, margin=1.5)
 
     renders, gts, counts, times, types, subsets = [], [], [], [], [], []
     fns = {}
+    mlps = None if explicit else mlps_from_params(state.params)
     for idx, cam in enumerate(cameras):
         key = (cam.height, cam.width)
         if key not in fns:
@@ -83,54 +116,28 @@ def render_set(out_dir: str, name: str, iteration: int, cameras, cfg,
                                                "tiled"):
                 # calibrate the tile-instance capacity for this resolution
                 # (binning/routing scale with it; the 4N default wastes ~2x)
-                from horizongs_tpu.render import count_render_instances
-                from horizongs_tpu.ops.raster_pallas import (
-                    suggest_instance_cap)
-                n = int(count_render_instances(
-                    cam, cfg, mlps_from_params(state.params),
-                    state.anchor_state(),
-                    add_prefilter=getattr(scene, "add_prefilter", True)))
-                cap = suggest_instance_cap(n, margin=1.5)
+                cap = _calibrate(cam)
             if explicit:
                 fns[key] = jax.jit(lambda vm, K, cc, st, c=cam: render_explicit(
                     c._replace(viewmat=vm, K=K, cam_center=cc), cfg, st,
                     scene.background, rasterizer=rasterizer))
             else:
-                mlps = mlps_from_params(state.params)
-                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam, m=mlps,
-                                   cp=cap: render_fn(
-                    c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
-                    cfg, m, ast, scene.background,
-                    add_prefilter=getattr(scene, "add_prefilter", True),
-                    rasterizer=rasterizer, instance_cap=cp))
+                fns[key] = _make_fn(cam, cap)
         t0 = time.time()
         if explicit:
             pkg = fns[key](cam.viewmat, cam.K, cam.cam_center, state)
             vis = pkg["gs_mask"]
         else:
             pkg = fns[key](cam.viewmat, cam.K, cam.cam_center,
-                           jnp.asarray(cam.uid), state.anchor_state())
+                           jnp.asarray(cam.uid), state.anchor_state(), mlps)
             while int(pkg.get("n_dropped", 0)) > 0:
                 # this view overflowed the calibrated capacity:
                 # recalibrate from it (x1.5 margin) and re-render —
                 # evaluation must never drop instances silently
-                from horizongs_tpu.render import count_render_instances
-                from horizongs_tpu.ops.raster_pallas import (
-                    suggest_instance_cap)
-                n = int(count_render_instances(
-                    cam, cfg, mlps_from_params(state.params),
-                    state.anchor_state(),
-                    add_prefilter=getattr(scene, "add_prefilter", True)))
-                cap = suggest_instance_cap(n, margin=1.5)
-                mlps = mlps_from_params(state.params)
-                fns[key] = jax.jit(lambda vm, K, cc, uid, ast, c=cam,
-                                   m=mlps, cp=cap: render_fn(
-                    c._replace(viewmat=vm, K=K, cam_center=cc, uid=uid),
-                    cfg, m, ast, scene.background,
-                    add_prefilter=getattr(scene, "add_prefilter", True),
-                    rasterizer=rasterizer, instance_cap=cp))
+                fns[key] = _make_fn(cam, _calibrate(cam))
                 pkg = fns[key](cam.viewmat, cam.K, cam.cam_center,
-                               jnp.asarray(cam.uid), state.anchor_state())
+                               jnp.asarray(cam.uid), state.anchor_state(),
+                               mlps)
             vis = pkg["selection_mask"]
         img = jax.block_until_ready(pkg["render"])
         times.append(time.time() - t0)

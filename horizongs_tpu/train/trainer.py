@@ -58,7 +58,12 @@ class Trainer:
         self.wandb = wandb_run
         self.tb = tb_writer
         self._steps = {}
-        self._cap_margin = 1.25
+        # per-resolution capacity margins: one overflowing view at one
+        # resolution must not recompile the step functions of the others
+        self._cap_margin = defaultdict(lambda: 1.25)
+        # live prefilter flag: the reference flips it off for the last
+        # `no_prefilter_step` iterations (`train.py:280-281`)
+        self.add_prefilter = pp.add_prefilter
         # (first_iter, n_steps): capture a jax.profiler device trace of
         # n_steps training iterations into <model_path>/profile/
         # (the TPU analog of the reference's CUDA-event iter timing,
@@ -94,12 +99,12 @@ class Trainer:
         astate = self.state.anchor_state()
         n = max(int(count_render_instances(
                 c, self.cfg, mlps, astate,
-                add_prefilter=self.pp.add_prefilter)) for c in cams)
-        return suggest_instance_cap(n, margin=self._cap_margin)
+                add_prefilter=self.add_prefilter)) for c in cams)
+        return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
     def _step_fn(self, H, W):
         key = (H, W, self.state.params.anchor.shape[0],
-               self.active_sh_degree)
+               self.active_sh_degree, self.add_prefilter)
         if key not in self._steps:
             cap = self._calibrate_cap(H, W)
             if cap is not None:
@@ -108,7 +113,7 @@ class Trainer:
                 self.cfg, self.op, H, W,
                 spatial_lr_scale=self.scene.cameras_extent,
                 frozen_mlps=self.scene.frozen_mlps,
-                add_prefilter=self.pp.add_prefilter,
+                add_prefilter=self.add_prefilter,
                 rasterizer=self.rasterizer,
                 active_sh_degree=self.active_sh_degree,
                 background=self.scene.background,
@@ -147,7 +152,7 @@ class Trainer:
         from horizongs_tpu.utils.viz import image_grid, vis_depth, vis_normal
         pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
                         self.state.anchor_state(), self.scene.background,
-                        add_prefilter=self.pp.add_prefilter,
+                        add_prefilter=self.add_prefilter,
                         active_sh_degree=self.active_sh_degree,
                         rasterizer=self.rasterizer)
         panels = [np.asarray(cam.image), np.asarray(pkg["render"])]
@@ -173,9 +178,10 @@ class Trainer:
                          np.linalg.inv(cam_d["viewmat"])[:3, 3]))
         pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
                         self.state.anchor_state(), self.scene.background,
-                        add_prefilter=self.pp.add_prefilter,
+                        add_prefilter=self.add_prefilter,
                         active_sh_degree=self.active_sh_degree,
-                        rasterizer=self.rasterizer)
+                        rasterizer=self.rasterizer,
+                        scaling_modifier=cam_d.get("scaling_modifier", 1.0))
         return np.asarray(pkg["render"])
 
     def _report(self, it: int, max_views: int = 5) -> dict:
@@ -193,17 +199,35 @@ class Trainer:
             if not cams:
                 continue
             l1s, psnrs = [], []
-            for cam in cams:
+            for vi, cam in enumerate(cams):
                 pkg = render_fn(cam, self.cfg, mlps,
                                 self.state.anchor_state(),
                                 self.scene.background,
-                                add_prefilter=self.pp.add_prefilter,
+                                add_prefilter=self.add_prefilter,
                                 active_sh_degree=self.active_sh_degree,
                                 rasterizer=self.rasterizer)
                 img = jnp.clip(pkg["render"], 0.0, 1.0)
                 gt = cam.image
                 l1s.append(float(l1_loss(img, gt)))
                 psnrs.append(float(psnr(img, gt)))
+                # render/gt images at milestones (`train.py:348-359`)
+                if vi < 3:
+                    chw = np.transpose(np.asarray(img), (2, 0, 1))
+                    gt_chw = np.transpose(np.asarray(gt), (2, 0, 1))
+                    if self.tb is not None:
+                        self.tb.add_image(
+                            f"{name}_view_{int(cam.uid)}/render", chw, it)
+                        self.tb.add_image(
+                            f"{name}_view_{int(cam.uid)}/ground_truth",
+                            gt_chw, it)
+                    if self.wandb is not None:
+                        try:
+                            import wandb as _wandb
+                            self.wandb.log(
+                                {f"{name}_view_{int(cam.uid)}/render":
+                                 _wandb.Image(np.asarray(img))}, step=it)
+                        except Exception:
+                            pass
             results[name] = {"l1": float(np.mean(l1s)),
                              "psnr": float(np.mean(psnrs))}
             self.log(f"[ITER {it}] Evaluating {name}: "
@@ -233,6 +257,16 @@ class Trainer:
         for it in range(first_iter, iterations + 1):
             if self.viewer is not None:
                 self.viewer.poll(self._viewer_render, self.scene.model_path)
+
+            # drop the frustum prefilter for the last no_prefilter_step
+            # iterations (`train.py:280-281`: `iteration >= iterations -
+            # no_prefilter_step` flips pipe.add_prefilter off)
+            n_noprefilter = int(getattr(pp, "no_prefilter_step", 0) or 0)
+            if (self.add_prefilter and n_noprefilter > 0
+                    and it >= iterations - n_noprefilter):
+                self.add_prefilter = False
+                self.log(f"[it {it}] prefilter disabled for the final "
+                         f"{n_noprefilter} iterations")
 
             # SH degree progression (`update_learning_rate`, every 1000)
             if (self.active_sh_degree is not None and it % 1000 == 0
@@ -266,13 +300,15 @@ class Trainer:
             dropped = int(metrics.get("n_dropped", 0))
             if dropped > 0:
                 # calibrated capacity overflowed (anchors grew/moved):
-                # widen the margin and rebuild the step functions — the
-                # overflow is counted, never silent
-                self._cap_margin *= 1.5
-                self._steps.clear()
+                # widen THIS resolution's margin and rebuild only its
+                # step functions — overflow is counted, never silent
+                res = (cam.height, cam.width)
+                self._cap_margin[res] *= 1.5
+                for k in [k for k in self._steps if k[:2] == res]:
+                    del self._steps[k]
                 self.log(f"[it {it}] {dropped} tile instances dropped — "
-                         f"recalibrating capacity "
-                         f"(margin {self._cap_margin:.2f})")
+                         f"recalibrating capacity for {res[1]}x{res[0]} "
+                         f"(margin {self._cap_margin[res]:.2f})")
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it > first_iter else loss
             history.append(loss)
             if it % progress_every == 0 or it == iterations:
@@ -296,7 +332,15 @@ class Trainer:
                         (time.time() - t_start) / max(it - first_iter + 1, 1),
                         it)
 
-            # densification epochs (`train.py:256-273`)
+            # densification epochs (`train.py:256-273`). The trigger
+            # matches the reference exactly: densify_cnt counts only
+            # stat-accumulating views (`train.py:260-264` — NOT raw
+            # iterations), so with aerial_densify only and a 2-1 camera
+            # proportion an epoch fires every ~1.5 * update_interval
+            # iterations, same as upstream. One deliberate deviation:
+            # the reference re-fires every subsequent non-stat iteration
+            # while densify_cnt sits on a multiple; we bump densify_cnt
+            # after the epoch so it fires exactly once per interval.
             if op.start_stat < it < op.update_until:
                 if (op.densification and it > op.update_from
                         and densify_cnt > 0

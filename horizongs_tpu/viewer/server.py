@@ -171,7 +171,8 @@ def serve_model(model_path: str, host: str = "127.0.0.1", port: int = 6009,
                          cam_center=jnp.asarray(
                              np.linalg.inv(cam_d["viewmat"])[:3, 3]))
             pkg = render(cam, scene.cfg, mlps, state, jnp.zeros(3),
-                         rasterizer=rast)
+                         rasterizer=rast,
+                         scaling_modifier=cam_d.get("scaling_modifier", 1.0))
             srv.send_image(np.asarray(pkg["render"]), model_path)
             served += 1
     finally:
