@@ -186,8 +186,15 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         pgrads, probe_grad = grads
 
         # reduce: everything mean over data; mlp/appearance also sum over
-        # model (each shard only saw its own anchors' decode path)
-        pgrads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), pgrads)
+        # model (each shard only saw its own anchors' decode path).
+        # The 1/n_model rescale undoes the all_gather transpose's psum:
+        # each device's backward computes d(sum of all model-shard
+        # losses)/d(local params) = n_model x the true gradient, because
+        # every replica's (identical) loss cotangent flows back through
+        # psum_scatter. Probe grads are NOT rescaled — the probe enters
+        # after the gather, so its gradient is already 1x.
+        pgrads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, "data") / n_model, pgrads)
         reduce_model = lambda t: jax.tree.map(
             lambda g: jax.lax.psum(g, "model"), t)
         pgrads = pgrads._replace(

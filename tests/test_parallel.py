@@ -87,6 +87,20 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(new_state.stats.offset_gradient_accum),
         np.asarray(ref_state.stats.offset_gradient_accum), atol=1e-6)
+    # Adam second moments expose the raw gradient SCALE (params after one
+    # step do not — Adam's first update is scale-invariant): catches the
+    # n_model x factor from the all_gather transpose if left unrescaled
+    np.testing.assert_allclose(np.asarray(new_state.opt.nu.feat),
+                               np.asarray(ref_state.opt.nu.feat),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(new_state.opt.nu.anchor),
+                               np.asarray(ref_state.opt.nu.anchor),
+                               atol=1e-10)
+    for leaf_ref, leaf_new in zip(
+            jax.tree.leaves(ref_state.opt.nu.mlp_color),
+            jax.tree.leaves(new_state.opt.nu.mlp_color)):
+        np.testing.assert_allclose(np.asarray(leaf_new),
+                                   np.asarray(leaf_ref), atol=1e-10)
 
 
 def test_sharded_training_4x2_reduces_loss():
