@@ -45,6 +45,15 @@ def main(argv=None):
                         help="capture a jax.profiler device trace of N "
                         "training steps (starting at iteration 20) into "
                         "<model_path>/profile/ for TensorBoard")
+    parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                        help="multi-chip training mesh, e.g. '4x2' "
+                        "(cameras data-parallel x anchors+image-bands "
+                        "tensor-parallel) or 'auto' for all visible "
+                        "devices. Omit for the single-device step.")
+    parser.add_argument("--band_cap", type=int, default=None,
+                        help="per (src,dst) record slots of the tile-band "
+                        "exchange (default: never drops; smaller = less "
+                        "memory, overflow counted + recalibrated)")
     args = parser.parse_args(argv)
 
     from horizongs_tpu.cli.common import get_logger, load_config
@@ -92,6 +101,17 @@ def main(argv=None):
         except Exception as e:
             logger.info(f"tensorboard unavailable: {e}")
 
+    mesh = None
+    if args.mesh:
+        from horizongs_tpu.parallel.mesh import (
+            maybe_init_distributed, parse_mesh_spec)
+        maybe_init_distributed(logger)
+        mesh = parse_mesh_spec(args.mesh)
+        if mesh is not None:
+            logger.info(f"training mesh: data={mesh.shape['data']} x "
+                        f"model={mesh.shape['model']} "
+                        f"({len(mesh.devices.flat)} devices)")
+
     scene = Scene(lp, cfg, weed_ratio=pp.weed_ratio, logger=logger,
                   seed=args.seed)
     trainer = Trainer(scene.cfg, op, pp, scene, logger=logger,
@@ -99,7 +119,8 @@ def main(argv=None):
                       wandb_run=wandb_run, viewer_port=args.viewer_port,
                       tb_writer=tb_writer,
                       profile_steps=(20, args.profile) if args.profile
-                      else None)
+                      else None,
+                      mesh=mesh, band_cap=args.band_cap)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])
@@ -107,8 +128,15 @@ def main(argv=None):
     first_iter = 1
     if args.start_checkpoint:
         from horizongs_tpu.io.checkpoints import load_train_checkpoint
-        trainer.state, ckpt_it = load_train_checkpoint(
-            args.start_checkpoint, trainer.state)
+        host, ckpt_it = load_train_checkpoint(
+            args.start_checkpoint, trainer._host_state())
+        if mesh is not None:
+            n_model = mesh.shape["model"]
+            C = int(host.params.anchor.shape[0])
+            if C % n_model:
+                from horizongs_tpu.train.densify import pad_state_capacity
+                host = pad_state_capacity(host, -(-C // n_model) * n_model)
+        trainer.state = trainer._place_state(host)
         first_iter = ckpt_it + 1
         logger.info(f"Resumed from {args.start_checkpoint} "
                     f"at iteration {ckpt_it}")
@@ -124,7 +152,7 @@ def main(argv=None):
         cams = scene.get_test_cameras() or scene.get_train_cameras()
         renders, gts, counts, times, types, subsets = render_set(
             lp.model_path, "test", iterations, cams, scene.cfg, scene,
-            trainer.state, rasterizer=trainer.rasterizer,
+            trainer._host_state(), rasterizer=trainer.rasterizer,
             # reference render_sets: prefilter off iff no_prefilter_step
             # was used in training (`train.py:478-484`)
             add_prefilter=not (int(getattr(pp, "no_prefilter_step", 0)

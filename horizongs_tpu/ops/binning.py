@@ -109,7 +109,14 @@ def cull_radius(radii: jnp.ndarray, opacities: jnp.ndarray,
     them, matching the oracle exactly). `guard_px`: never *shrink* below
     the geometric radius for splats smaller than this (the 2DGS low-pass
     bound 2*d^2 >= s^2 needs r >= ~2.2px for the argument to hold)."""
-    s = jnp.sqrt(jnp.clip(2.0 * jnp.log(opacities / alpha_cutoff), 0.0, None))
+    # gradient-safe sqrt: for op <= cutoff the clip zeroes the forward,
+    # but sqrt'(0) = inf would make the chained VJP 0*inf = NaN the
+    # moment radii enters any differentiable tensor (the band-sharded
+    # step packs radii into the exchanged records) — double-where keeps
+    # both forward and backward finite
+    inner = 2.0 * jnp.log(jnp.clip(opacities, 1e-12, None) / alpha_cutoff)
+    pos = inner > 0
+    s = jnp.where(pos, jnp.sqrt(jnp.where(pos, inner, 1.0)), 0.0)
     factor = s / 3.0
     if guard_px > 0:
         factor = jnp.where(radii >= guard_px, factor,

@@ -113,43 +113,22 @@ def _default_cap(n: int, chunk: int) -> int:
 # 3DGS
 # ---------------------------------------------------------------------------
 
-def rasterize_tiled_3dgs(
-    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
-    opacities: jnp.ndarray, colors: jnp.ndarray,
-    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
-    background: jnp.ndarray, sh_degree: Optional[int] = None,
-    render_mode: str = "RGB", eps2d: float = 0.3,
-    means2d_override: Optional[jnp.ndarray] = None,
-    tile_w: int = 16, tile_h: int = 16, chunk: int = 1024,
-    cap: Optional[int] = None,
-):
-    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
-        raise ValueError(f"Unknown render_mode: {render_mode}")
-    N = means.shape[0]
-    grid = _make_grid(width, height, tile_w, tile_h)
-    cap = cap if cap is not None else _default_cap(N, chunk)
-    cap = -(-cap // chunk) * chunk
-
-    proj = project_3dgs(means, quats, scales, viewmat, K, width, height,
-                        eps2d=eps2d)
-    means2d = proj.means2d if means2d_override is None else means2d_override
-
-    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
-    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+def composite_scan_3dgs(means2d, conics, opac, rgb, depths, inst,
+                        grid: _TileGrid, width: int, height: int,
+                        background, render_mode: str, chunk: int,
+                        tile_w: int, tile_h: int):
+    """Field-level 3DGS compositing: the chunked scan over a pre-built
+    (tile, depth)-sorted instance list. Factored out of
+    `rasterize_tiled_3dgs` so the tile-band-sharded step
+    (`parallel/tile_exchange.py`) can composite exchanged splat records
+    without re-projecting — the multi-device analog of gsplat's
+    tile-local rasterize stage (`gaussian_renderer/render.py:40-54`
+    semantics, distributed per SURVEY.md §2.3)."""
     C = rgb.shape[-1]
-
-    radii = cull_radius(proj.radii, opacities)
-    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
-                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
-                                tile_w, tile_h, cap,
-                                conics=jax.lax.stop_gradient(proj.conics),
-                                opacities=jax.lax.stop_gradient(opacities))
-
+    cap = inst.gauss_id.shape[0]
     lx, ly = _local_pixel_coords(grid)
     n_tiles = grid.n_tiles
     P = grid.pixels
-
-    conics, opac, depths = proj.conics, opacities, proj.depths
 
     def chunk_step(carry, chunk_idx):
         color_acc, alpha_acc, depth_acc, logT = carry
@@ -211,6 +190,43 @@ def rasterize_tiled_3dgs(
         ed = depth_acc / jnp.clip(alpha_acc, 1e-10, None)
         depth_img = _tiles_to_image(ed[:, :, None], grid, height, width)
         render = jnp.concatenate([render, depth_img], axis=-1)
+    return render, alphas
+
+
+def rasterize_tiled_3dgs(
+    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
+    opacities: jnp.ndarray, colors: jnp.ndarray,
+    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
+    background: jnp.ndarray, sh_degree: Optional[int] = None,
+    render_mode: str = "RGB", eps2d: float = 0.3,
+    means2d_override: Optional[jnp.ndarray] = None,
+    tile_w: int = 16, tile_h: int = 16, chunk: int = 1024,
+    cap: Optional[int] = None,
+):
+    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
+        raise ValueError(f"Unknown render_mode: {render_mode}")
+    N = means.shape[0]
+    grid = _make_grid(width, height, tile_w, tile_h)
+    cap = cap if cap is not None else _default_cap(N, chunk)
+    cap = -(-cap // chunk) * chunk
+
+    proj = project_3dgs(means, quats, scales, viewmat, K, width, height,
+                        eps2d=eps2d)
+    means2d = proj.means2d if means2d_override is None else means2d_override
+
+    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
+    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+
+    radii = cull_radius(proj.radii, opacities)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
+                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
+                                tile_w, tile_h, cap,
+                                conics=jax.lax.stop_gradient(proj.conics),
+                                opacities=jax.lax.stop_gradient(opacities))
+
+    render, alphas = composite_scan_3dgs(
+        means2d, proj.conics, opacities, rgb, proj.depths, inst, grid,
+        width, height, background, render_mode, chunk, tile_w, tile_h)
 
     info = {"radii": proj.radii, "means2d": means2d, "depths": proj.depths,
             "conics": proj.conics, "n_instances": inst.n_instances,
@@ -222,38 +238,20 @@ def rasterize_tiled_3dgs(
 # 2DGS
 # ---------------------------------------------------------------------------
 
-def rasterize_tiled_2dgs(
-    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
-    opacities: jnp.ndarray, colors: jnp.ndarray,
-    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
-    background: jnp.ndarray, sh_degree: Optional[int] = None,
-    render_mode: str = "RGB", means2d_override: Optional[jnp.ndarray] = None,
-    tile_w: int = 16, tile_h: int = 16, chunk: int = 1024,
-    cap: Optional[int] = None,
-):
-    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
-        raise ValueError(f"Unknown render_mode: {render_mode}")
-    N = means.shape[0]
-    grid = _make_grid(width, height, tile_w, tile_h)
-    cap = cap if cap is not None else _default_cap(N, chunk)
-    cap = -(-cap // chunk) * chunk
-
-    proj = project_2dgs(means, quats, scales, viewmat, K, width, height)
-    means2d = proj.means2d if means2d_override is None else means2d_override
-
-    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
-    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+def composite_scan_2dgs(means2d, transforms, opac, rgb, normals, inst,
+                        grid: _TileGrid, width: int, height: int,
+                        background, render_mode: str, chunk: int,
+                        tile_w: int, tile_h: int):
+    """Field-level 2DGS compositing (see `composite_scan_3dgs`). Returns
+    (render, alphas, normals_img, distort, median) — `normals_from_depth`
+    is the caller's job: it is a spatial derivative of the median-depth
+    image, so in band-sharded rendering it must be computed on the
+    re-assembled full image, not per band."""
     C = rgb.shape[-1]
-
-    radii = cull_radius(proj.radii, opacities, guard_px=2.2)
-    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
-                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
-                                tile_w, tile_h, cap)
-
+    cap = inst.gauss_id.shape[0]
     lx, ly = _local_pixel_coords(grid)
     n_tiles = grid.n_tiles
     P = grid.pixels
-    transforms, normals, opac = proj.transforms, proj.normals, opacities
 
     def chunk_step(carry, chunk_idx):
         (color_acc, alpha_acc, depth_acc, logT, normal_acc,
@@ -356,6 +354,39 @@ def rasterize_tiled_2dgs(
         ed = depth_acc / jnp.clip(alpha_acc, 1e-10, None)
         depth_img = _tiles_to_image(ed[:, :, None], grid, height, width)
         render = jnp.concatenate([render, depth_img], axis=-1)
+    return render, alphas, normals_img, distort, median
+
+
+def rasterize_tiled_2dgs(
+    means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
+    opacities: jnp.ndarray, colors: jnp.ndarray,
+    viewmat: jnp.ndarray, K: jnp.ndarray, width: int, height: int,
+    background: jnp.ndarray, sh_degree: Optional[int] = None,
+    render_mode: str = "RGB", means2d_override: Optional[jnp.ndarray] = None,
+    tile_w: int = 16, tile_h: int = 16, chunk: int = 1024,
+    cap: Optional[int] = None,
+):
+    if render_mode not in ("RGB", "RGB+D", "RGB+ED"):
+        raise ValueError(f"Unknown render_mode: {render_mode}")
+    N = means.shape[0]
+    grid = _make_grid(width, height, tile_w, tile_h)
+    cap = cap if cap is not None else _default_cap(N, chunk)
+    cap = -(-cap // chunk) * chunk
+
+    proj = project_2dgs(means, quats, scales, viewmat, K, width, height)
+    means2d = proj.means2d if means2d_override is None else means2d_override
+
+    cam_pos = jnp.linalg.inv(viewmat)[:3, 3]
+    rgb = _sh_colors(colors, sh_degree, means, cam_pos)
+
+    radii = cull_radius(proj.radii, opacities, guard_px=2.2)
+    inst = build_tile_instances(jax.lax.stop_gradient(means2d), radii,
+                                proj.depths, grid.n_tiles_x, grid.n_tiles_y,
+                                tile_w, tile_h, cap)
+
+    render, alphas, normals_img, distort, median = composite_scan_2dgs(
+        means2d, proj.transforms, opacities, rgb, proj.normals, inst, grid,
+        width, height, background, render_mode, chunk, tile_w, tile_h)
 
     normals_from_depth = depth_to_normals(median[..., 0], K)
 

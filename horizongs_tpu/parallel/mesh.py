@@ -35,3 +35,50 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
         f"mesh {data}x{model} does not match {n} devices")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
+
+
+def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """CLI mesh spec -> Mesh. `None`/"" -> no mesh (single-device step);
+    "auto" -> all devices as data x 1 if <= 2, else (n/2) x 2;
+    "DxM" (e.g. "4x2") -> explicit data x model."""
+    if not spec:
+        return None
+    n = len(jax.devices())
+    if spec == "auto":
+        if n == 1:
+            return None
+        model = 2 if n % 2 == 0 and n > 2 else 1
+        return make_mesh(data=n // model, model=model)
+    data_s, model_s = spec.lower().split("x")
+    data, model = int(data_s), int(model_s)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} "
+                         f"devices, only {n} visible")
+    return make_mesh(data=data, model=model,
+                     devices=jax.devices()[:data * model])
+
+
+def maybe_init_distributed(logger=None) -> int:
+    """Multi-host bring-up: call `jax.distributed.initialize()` when the
+    standard coordinator env is present (JAX_COORDINATOR_ADDRESS [+
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID], or a TPU pod environment the JAX
+    runtime can auto-detect via `initialize()` with no args). Returns the
+    process index (0 when single-process). Safe to call twice.
+
+    The reference has no multi-host story at all (SURVEY.md §2.3); its
+    closest analog is launching one training job per chunk by hand."""
+    log = logger.info if logger else print
+    if jax.process_count() > 1:
+        return jax.process_index()
+    addr = None
+    import os
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        try:
+            jax.distributed.initialize()
+            log(f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}, "
+                f"{len(jax.devices())} global devices")
+        except Exception as e:   # already initialized / single process
+            log(f"jax.distributed.initialize skipped: {e}")
+    return jax.process_index()

@@ -1,4 +1,5 @@
-"""Sharded training step: anchors tensor-parallel, cameras data-parallel.
+"""Sharded training step: anchors tensor-parallel, cameras data-parallel,
+rasterization tile-band-parallel.
 
 Parallelization strategy (replaces the reference's "no distribution at
 all", SURVEY.md §2.3) for one scene/chunk:
@@ -6,18 +7,23 @@ all", SURVEY.md §2.3) for one scene/chunk:
   * anchor table rows (and their Adam moments and densify stats) are
     sharded over the "model" mesh axis; the MLP decode — the FLOP-heavy
     matmul part — runs on local rows only;
-  * decoded gaussians are all-gathered over "model" (a few hundred
-    bytes/gaussian over ICI), so every device rasterizes a full gaussian
-    set. Gradients flow back through the transposed collective: each
-    shard receives exactly its own rows' gradients;
+  * the image's tile rows are split into n_model contiguous bands; each
+    device projects its local gaussians and routes the resulting compact
+    splat records (10-20 floats) to the band owners with an all_to_all
+    over ICI (`parallel/tile_exchange.py`), then bins + composites ONLY
+    its own band. Pixel FLOPs and instance memory scale 1/n_model and no
+    device ever holds the full decoded gaussian set. Band images are
+    all-gathered (a few MB) for the loss; gradients ride the transposed
+    collectives back to the owning shard.
   * cameras are sharded over "data": each step renders n_data views;
     all parameter gradients are mean-reduced over "data" and MLP/
     appearance gradients additionally sum-reduced over "model";
   * densification statistics accumulate on the local row slices.
 
-Rasterization itself is replicated over "model" (pixel work is
-parallel over "data" views). Sharding image tiles over "model" with a
-partial-composite exchange is a further step planned in ops/.
+`shard_tiles=False` falls back to the round-1 scheme: all_gather the
+decoded gaussians over "model" and rasterize the full image redundantly
+on every device (3DGS only) — kept as the parity oracle for the band
+path and for single-band-degenerate geometries.
 """
 from __future__ import annotations
 
@@ -35,19 +41,30 @@ from horizongs_tpu.models.anchors import (
     decode_neural_gaussians,
 )
 from horizongs_tpu.models.config import ModelConfig
-from horizongs_tpu.models.mlp import MlpParams
+from horizongs_tpu.ops.binning import ellipse_extents
 from horizongs_tpu.ops.projection import project_3dgs
 from horizongs_tpu.ops.raster import rasterize_tiled_3dgs
+from horizongs_tpu.ops.raster_fields import (
+    backend_tile_shape,
+    composite_fields_2dgs,
+    composite_fields_3dgs,
+    pack_fields_2dgs,
+    pack_fields_3dgs,
+    shift_band_2dgs,
+    shift_band_3dgs,
+)
+from horizongs_tpu.ops.reference import depth_to_normals
+from horizongs_tpu.parallel.tile_exchange import (
+    BandLayout,
+    band_layout,
+    exchange_records,
+)
 from horizongs_tpu.render import prefilter_anchors
 from horizongs_tpu.train.losses import assemble_loss, psnr
 from horizongs_tpu.train.optim import adam_step, lr_tree, mlps_from_params
 from horizongs_tpu.train.schedules import expon_lr, group_lrs
 from horizongs_tpu.train.step import CameraTensors, DensifyStats, TrainState, update_stats
 from horizongs_tpu.core.cameras import Camera
-
-
-def _is_per_anchor(path: str) -> bool:
-    return path in ("anchor", "offset", "feat", "scaling_log")
 
 
 def state_specs(state: TrainState):
@@ -78,26 +95,231 @@ def shard_state(state: TrainState, mesh) -> TrainState:
         state, specs)
 
 
+def unshard_state(state: TrainState) -> TrainState:
+    """Gather a (possibly sharded) TrainState to host-replicated arrays —
+    the inverse of `shard_state`, used by the densify round-trip and by
+    checkpoint saving."""
+    return jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), state)
+
+
+def _rasterizer_backend(rasterizer: str) -> str:
+    return {"tiled": "scan", "dense": "scan"}.get(rasterizer, rasterizer)
+
+
 def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                              width: int, spatial_lr_scale: float = 1.0,
                              frozen_mlps: bool = False,
+                             frozen_appearance: bool = False,
                              add_prefilter: bool = True,
                              active_sh_degree: Optional[int] = None,
                              background=None,
                              raster_chunk: int = 512,
                              rasterizer: str = "tiled",
-                             instance_cap: Optional[int] = None):
+                             instance_cap: Optional[int] = None,
+                             shard_tiles: bool = True,
+                             band_cap: Optional[int] = None):
     """Returns fn(state, cams: CameraTensors (n_data-batched), iteration)
     -> (state', metrics). Anchor capacity must divide the model axis.
 
     `rasterizer`: "tiled" (scan backend, CPU-testable) or "pallas" /
-    "pallas_interpret" (the TPU kernels; shard_map runs them per device
-    on that device's all-gathered gaussians). `instance_cap` calibrates
-    the static tile-instance capacity (see `render.count_render_instances`)."""
+    "pallas_interpret" (the TPU kernels). `instance_cap` calibrates the
+    static per-device tile-instance capacity; `band_cap` the per
+    (src, dst) record slots of the band exchange (default: every local
+    record — never drops). Overflows of either are counted in
+    `metrics["n_dropped"]`, never silent."""
     bg = background if background is not None else jnp.zeros(3)
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
     k = cfg.n_offsets
+    backend = _rasterizer_backend(rasterizer)
+    if cfg.gs_attr == "2D" and not shard_tiles:
+        raise ValueError("2DGS requires shard_tiles=True in the sharded "
+                         "step (the replicated fallback is 3DGS-only)")
+    tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
+    layout = band_layout(height, width, n_model, tile_h)
+    if cfg.color_attr != "RGB":
+        sh_deg = (cfg.max_sh_degree if active_sh_degree is None
+                  else active_sh_degree)
+    else:
+        sh_deg = None
+
+    def _decode(state, params, cam, n_local):
+        astate = AnchorState(
+            anchor=params.anchor, offset=params.offset, feat=params.feat,
+            scaling_log=params.scaling_log, rotation=state.rotation,
+            level=state.level, extra_level=state.extra_level, n=n_local)
+        camera = Camera(viewmat=cam.viewmat, K=cam.K, width=width,
+                        height=height, cam_center=cam.cam_center,
+                        uid=cam.uid,
+                        resolution_scale=cam.resolution_scale)
+        mask, smooth = anchor_lod_mask(cfg, astate, cam.cam_center,
+                                       cam.resolution_scale)
+        if add_prefilter:
+            mask = prefilter_anchors(cfg, astate, camera, mask)
+        dec = decode_neural_gaussians(cfg, mlps_from_params(params),
+                                      astate, cam.cam_center, mask,
+                                      smooth, appearance_id=cam.uid)
+        if cfg.color_attr != "RGB":
+            colors = dec.colors.reshape(-1, cfg.color_dim // 3, 3)
+        else:
+            colors = dec.colors
+        return dec, colors, camera
+
+    # ------------------------------------------------------------------
+    # tile-band-sharded loss: records cross devices, pixels stay local
+    # ------------------------------------------------------------------
+    def band_loss_fn(params, probe, state, cam, n_local, m_idx, iteration):
+        dec, colors, camera = _decode(state, params, cam, n_local)
+        K_local = dec.means.shape[0]
+        send_cap = band_cap if band_cap is not None else K_local
+        dy = (m_idx * layout.band_px).astype(jnp.float32)
+        sg = jax.lax.stop_gradient
+
+        if cfg.gs_attr == "2D":
+            fields, bin_radii, depths, proj = pack_fields_2dgs(
+                dec.means, dec.quats, dec.scales, dec.opacities, colors,
+                camera.viewmat, camera.K, width, height,
+                sh_degree=sh_deg, means2d_probe=probe)
+            # radii + depth ride the records only as binning/sort keys —
+            # stop their gradients (the single-device paths never
+            # differentiate them either: they feed integer ops only)
+            records = jnp.concatenate(
+                [fields, sg(bin_radii)[:, None], sg(depths)[:, None]],
+                axis=-1)
+            ry = sg(bin_radii)
+        else:
+            fields, bin_radii, proj = pack_fields_3dgs(
+                dec.means, dec.quats, dec.scales, dec.opacities, colors,
+                camera.viewmat, camera.K, width, height,
+                sh_degree=sh_deg, means2d_probe=probe)
+            records = jnp.concatenate([fields, sg(bin_radii)[:, None]],
+                                      axis=-1)
+            # ellipse vertical extent: tighter routing for anisotropic
+            # splats (same lossless bound binning uses for its spans)
+            _, e_ry, _ = ellipse_extents(sg(proj.conics), sg(dec.opacities))
+            ry = jnp.where(sg(bin_radii) > 0, e_ry, 0.0)
+
+        my = fields[:, 10] if cfg.gs_attr == "2D" else fields[:, 1]
+        recv, n_drop_exch = exchange_records(
+            records, sg(my), ry, sg(bin_radii) > 0, layout, send_cap)
+        band_px = layout.band_px
+
+        if cfg.gs_attr == "2D":
+            rfields = shift_band_2dgs(recv[:, :18], dy)
+            rradii, rdepths = recv[:, 18], recv[:, 19]
+            render_b, alphas_b, normals_b, distort_b, median_b, binfo = \
+                composite_fields_2dgs(
+                    rfields, rradii, rdepths, width, band_px, bg,
+                    render_mode=cfg.render_mode, backend=backend,
+                    cap=instance_cap, chunk=raster_chunk)
+            extra_bands = [normals_b, distort_b, median_b]
+        else:
+            rfields = shift_band_3dgs(recv[:, :10], dy)
+            rradii = recv[:, 10]
+            render_b, alphas_b, binfo = composite_fields_3dgs(
+                rfields, rradii, width, band_px, bg,
+                render_mode=cfg.render_mode, backend=backend,
+                cap=instance_cap, chunk=raster_chunk)
+            extra_bands = []
+
+        # re-assemble the full image from bands (a few MB over ICI);
+        # every device computes the identical loss — the all_gather
+        # transpose hands each device its own band's cotangent
+        gather_img = partial(jax.lax.all_gather, axis_name="model",
+                             axis=0, tiled=True)
+        full = gather_img(render_b)[:height]
+        alphas = gather_img(alphas_b)[:height]
+        if full.shape[-1] == 4:
+            image, depth = full[..., :3], full[..., 3:4]
+        else:
+            image, depth = full, None
+
+        # the dreg/entropy terms need the full selection — gather only
+        # the small per-gaussian vectors they read (4 floats/gaussian)
+        gather_rows = partial(jax.lax.all_gather, axis_name="model",
+                              axis=0, tiled=True)
+        pkg = {"render": image, "render_depth": depth,
+               "render_alphas": alphas,
+               "scaling": gather_rows(dec.scales),
+               "selection_mask": gather_rows(dec.selection_mask)}
+        if cfg.gs_attr == "2D":
+            normals = gather_img(extra_bands[0])[:height]
+            distort = gather_img(extra_bands[1])[:height]
+            median = gather_img(extra_bands[2])[:height]
+            pkg["render_normals"] = normals
+            pkg["render_normals_from_depth"] = depth_to_normals(
+                median[..., 0], camera.K)
+            pkg["render_distort"] = distort
+            pkg["render_median_depth"] = median
+
+        depth_w = expon_lr(iteration, opt.depth_l1_weight_init,
+                           opt.depth_l1_weight_final,
+                           max_steps=opt.iterations) * cam.has_depth
+        loss, aux = assemble_loss(opt, pkg, cam.image, cam.alpha_mask,
+                                  cam.invdepth, cam.depth_mask,
+                                  iteration, depth_w, cfg.render_mode)
+        side = {"opacities": dec.opacities,
+                "selection_mask": dec.selection_mask,
+                "anchor_mask": dec.anchor_mask,
+                "radii": proj.radii, "render": image,
+                "n_dropped": n_drop_exch + binfo["n_dropped"],
+                "local_stats": True}
+        return loss, (aux, side)
+
+    # ------------------------------------------------------------------
+    # replicated fallback: all_gather decoded gaussians, rasterize full
+    # image on every device (round-1 scheme, 3DGS only)
+    # ------------------------------------------------------------------
+    def replicated_loss_fn(params, probe, state, cam, n_local, m_idx,
+                           iteration):
+        dec, colors, camera = _decode(state, params, cam, n_local)
+        gather = partial(jax.lax.all_gather, axis_name="model",
+                         axis=0, tiled=True)
+        means = gather(dec.means)
+        quats = gather(dec.quats)
+        scales = gather(dec.scales)
+        opac = gather(dec.opacities)
+        colors = gather(colors)
+        sel = gather(dec.selection_mask)
+
+        proj = project_3dgs(means, quats, scales, camera.viewmat,
+                            camera.K, width, height)
+        if backend in ("pallas", "pallas_interpret"):
+            from horizongs_tpu.ops.raster_pallas import (
+                rasterize_pallas_3dgs)
+            render, alphas, info = rasterize_pallas_3dgs(
+                means, quats, scales, opac, colors, camera.viewmat,
+                camera.K, width, height, bg, sh_degree=sh_deg,
+                render_mode=cfg.render_mode,
+                means2d_override=proj.means2d + probe,
+                cap=instance_cap,
+                interpret=backend == "pallas_interpret")
+        else:
+            render, alphas, info = rasterize_tiled_3dgs(
+                means, quats, scales, opac, colors, camera.viewmat,
+                camera.K, width, height, bg, sh_degree=sh_deg,
+                render_mode=cfg.render_mode,
+                means2d_override=proj.means2d + probe,
+                chunk=raster_chunk)
+        if render.shape[-1] == 4:
+            image, depth = render[..., :3], render[..., 3:4]
+        else:
+            image, depth = render, None
+        pkg = {"render": image, "render_depth": depth,
+               "render_alphas": alphas, "scaling": scales,
+               "opacity": opac, "selection_mask": sel}
+        depth_w = expon_lr(iteration, opt.depth_l1_weight_init,
+                           opt.depth_l1_weight_final,
+                           max_steps=opt.iterations) * cam.has_depth
+        loss, aux = assemble_loss(opt, pkg, cam.image, cam.alpha_mask,
+                                  cam.invdepth, cam.depth_mask,
+                                  iteration, depth_w, cfg.render_mode)
+        side = {"opacities": opac, "selection_mask": sel,
+                "anchor_mask": gather(dec.anchor_mask),
+                "radii": info["radii"], "render": image,
+                "n_dropped": info["n_dropped"],
+                "local_stats": False}
+        return loss, (aux, side)
 
     def device_fn(state: TrainState, cams: CameraTensors, iteration):
         # local shapes: per-anchor arrays are (C/n_model, ...) rows;
@@ -106,81 +328,16 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         m_idx = jax.lax.axis_index("model")
         C_local = state.params.anchor.shape[0]
         n_local = jnp.clip(state.n - m_idx * C_local, 0, C_local)
-        Ck = C_local * k * n_model
         iteration = jnp.asarray(iteration, dtype=jnp.float32)
 
+        loss_impl = band_loss_fn if shard_tiles else replicated_loss_fn
+        probe_rows = C_local * k if shard_tiles else C_local * k * n_model
+        probe = jnp.zeros((probe_rows, 2), dtype=jnp.float32)
+
         def loss_fn(params, probe):
-            astate = AnchorState(
-                anchor=params.anchor, offset=params.offset, feat=params.feat,
-                scaling_log=params.scaling_log, rotation=state.rotation,
-                level=state.level, extra_level=state.extra_level, n=n_local)
-            camera = Camera(viewmat=cam.viewmat, K=cam.K, width=width,
-                            height=height, cam_center=cam.cam_center,
-                            uid=cam.uid,
-                            resolution_scale=cam.resolution_scale)
-            mask, smooth = anchor_lod_mask(cfg, astate, cam.cam_center,
-                                           cam.resolution_scale)
-            if add_prefilter:
-                mask = prefilter_anchors(cfg, astate, camera, mask)
-            dec = decode_neural_gaussians(cfg, mlps_from_params(params),
-                                          astate, cam.cam_center, mask,
-                                          smooth,
-                                          appearance_id=cam.uid)
-            # gather decoded gaussians from all model shards
-            gather = partial(jax.lax.all_gather, axis_name="model",
-                             axis=0, tiled=True)
-            means = gather(dec.means)
-            quats = gather(dec.quats)
-            scales = gather(dec.scales)
-            opac = gather(dec.opacities)
-            colors = gather(dec.colors)
-            sel = gather(dec.selection_mask)
+            return loss_impl(params, probe, state, cam, n_local, m_idx,
+                             iteration)
 
-            if cfg.color_attr != "RGB":
-                colors = colors.reshape(-1, cfg.color_dim // 3, 3)
-                sh_deg = (cfg.max_sh_degree if active_sh_degree is None
-                          else active_sh_degree)
-            else:
-                sh_deg = None
-
-            proj = project_3dgs(means, quats, scales, camera.viewmat,
-                                camera.K, width, height)
-            if rasterizer in ("pallas", "pallas_interpret"):
-                from horizongs_tpu.ops.raster_pallas import (
-                    rasterize_pallas_3dgs)
-                render, alphas, info = rasterize_pallas_3dgs(
-                    means, quats, scales, opac, colors, camera.viewmat,
-                    camera.K, width, height, bg, sh_degree=sh_deg,
-                    render_mode=cfg.render_mode,
-                    means2d_override=proj.means2d + probe,
-                    cap=instance_cap,
-                    interpret=rasterizer == "pallas_interpret")
-            else:
-                render, alphas, info = rasterize_tiled_3dgs(
-                    means, quats, scales, opac, colors, camera.viewmat,
-                    camera.K, width, height, bg, sh_degree=sh_deg,
-                    render_mode=cfg.render_mode,
-                    means2d_override=proj.means2d + probe,
-                    chunk=raster_chunk)
-            if render.shape[-1] == 4:
-                image, depth = render[..., :3], render[..., 3:4]
-            else:
-                image, depth = render, None
-            pkg = {"render": image, "render_depth": depth,
-                   "render_alphas": alphas, "scaling": scales,
-                   "opacity": opac, "selection_mask": sel}
-            depth_w = expon_lr(iteration, opt.depth_l1_weight_init,
-                               opt.depth_l1_weight_final,
-                               max_steps=opt.iterations) * cam.has_depth
-            loss, aux = assemble_loss(opt, pkg, cam.image, cam.alpha_mask,
-                                      cam.invdepth, cam.depth_mask,
-                                      iteration, depth_w, cfg.render_mode)
-            side = {"opacities": opac, "selection_mask": sel,
-                    "anchor_mask": gather(dec.anchor_mask),
-                    "radii": info["radii"], "render": image}
-            return loss, (aux, side)
-
-        probe = jnp.zeros((Ck, 2), dtype=jnp.float32)
         (loss, (aux, side)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, probe)
         pgrads, probe_grad = grads
@@ -191,8 +348,9 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         # each device's backward computes d(sum of all model-shard
         # losses)/d(local params) = n_model x the true gradient, because
         # every replica's (identical) loss cotangent flows back through
-        # psum_scatter. Probe grads are NOT rescaled — the probe enters
-        # after the gather, so its gradient is already 1x.
+        # psum_scatter. In the band path the probe sits BEFORE the image
+        # gather, so its gradient carries the same factor; in the
+        # replicated path it enters after the gather and is already 1x.
         pgrads = jax.tree.map(
             lambda g: jax.lax.pmean(g, "data") / n_model, pgrads)
         reduce_model = lambda t: jax.tree.map(
@@ -203,22 +361,32 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
             mlp_color=reduce_model(pgrads.mlp_color),
             appearance=None if pgrads.appearance is None
             else reduce_model(pgrads.appearance))
+        probe_grad = jax.lax.pmean(probe_grad, "data")
+        if shard_tiles:
+            probe_grad = probe_grad / n_model
 
         lrs_dict = group_lrs(opt, iteration, spatial_lr_scale)
-        lrs = lr_tree(state.params, lrs_dict, frozen_mlps=frozen_mlps)
+        lrs = lr_tree(state.params, lrs_dict, frozen_mlps=frozen_mlps,
+                      frozen_appearance=frozen_appearance)
         new_params, new_opt = adam_step(state.params, pgrads, state.opt, lrs)
 
         # densify statistics on the local row slice
-        off = m_idx * C_local
-        sl = lambda x, o, n_: jax.lax.dynamic_slice_in_dim(x, o, n_)
-        probe_grad = jax.lax.pmean(probe_grad, "data")
+        if side["local_stats"]:
+            opac_l = side["opacities"]
+            sel_l = side["selection_mask"]
+            amask_l = side["anchor_mask"]
+            radii_l = side["radii"]
+            pg_l = probe_grad
+        else:
+            off = m_idx * C_local
+            sl = lambda x, o, n_: jax.lax.dynamic_slice_in_dim(x, o, n_)
+            opac_l = sl(side["opacities"], off * k, C_local * k)
+            sel_l = sl(side["selection_mask"], off * k, C_local * k)
+            amask_l = sl(side["anchor_mask"], off, C_local)
+            radii_l = sl(side["radii"], off * k, C_local * k)
+            pg_l = sl(probe_grad, off * k, C_local * k)
         local_stats = update_stats(
-            opt, state.stats, k,
-            sl(side["opacities"], off * k, C_local * k),
-            sl(side["selection_mask"], off * k, C_local * k),
-            sl(side["anchor_mask"], off, C_local),
-            sl(side["radii"], off * k, C_local * k),
-            sl(probe_grad, off * k, C_local * k),
+            opt, state.stats, k, opac_l, sel_l, amask_l, radii_l, pg_l,
             width, height, cam.do_stats)
         # stats deltas from other data-parallel cameras
         adds = jax.tree.map(
@@ -246,6 +414,8 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
             "psnr": jax.lax.pmean(
                 psnr(side["render"] * cam.alpha_mask,
                      cam.image * cam.alpha_mask), "data"),
+            "n_dropped": jax.lax.pmax(
+                jax.lax.pmax(side["n_dropped"], "data"), "model"),
         }
         new_state = TrainState(params=new_params, rotation=state.rotation,
                                level=state.level,

@@ -1,0 +1,113 @@
+"""Tile-band record exchange: route projected splats to band owners.
+
+The image's tile rows are split into `n_model` contiguous bands; device m
+owns tile rows [m*band_rows, (m+1)*band_rows). Each device projects only
+its local anchor shard's gaussians and sends each resulting splat record
+to the band(s) its screen footprint touches — an `all_to_all` of compact
+(10-20 float) records over ICI, replacing the all_gather of full decoded
+gaussians. Each device then bins + composites ONLY its band: pixel FLOPs
+and instance memory scale 1/n_model, and no device ever holds the full
+decoded set (SURVEY.md §2.3; the reference has no distribution at all —
+its per-tile ownership exists only inside one GPU's rasterize launch,
+`gaussian_renderer/render.py:40-76`).
+
+Static shapes: each (src, dst) pair carries `send_cap` record slots,
+compacted per destination with one row-wise sort (no scatter). Overflow
+is dropped and counted, never silent — the trainer recalibrates the cap
+the same way it handles tile-instance overflow.
+
+The exchange is an ordinary differentiable gather + `lax.all_to_all`:
+record gradients ride the transposed collective back to the owning
+shard, and a record sent to two bands receives the sum of both bands'
+gradients through the gather transpose.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BandLayout(NamedTuple):
+    n_model: int
+    tile_h: int
+    band_rows: int    # tile rows per band
+    n_tiles_y: int    # real tile rows in the full image
+    height: int       # full image height (pixels)
+    width: int
+
+    @property
+    def band_px(self) -> int:
+        return self.band_rows * self.tile_h
+
+
+def band_layout(height: int, width: int, n_model: int,
+                tile_h: int) -> BandLayout:
+    n_tiles_y = -(-height // tile_h)
+    band_rows = -(-n_tiles_y // n_model)
+    return BandLayout(n_model=n_model, tile_h=tile_h, band_rows=band_rows,
+                      n_tiles_y=n_tiles_y, height=height, width=width)
+
+
+def band_span(means2d_y: jnp.ndarray, ry: jnp.ndarray,
+              layout: BandLayout):
+    """Inclusive band index range [b0, b1] each splat's vertical extent
+    touches (same AABB rule as `binning.tile_spans`, collapsed to y)."""
+    ty0 = jnp.floor((means2d_y - ry) / layout.tile_h).astype(jnp.int32)
+    ty1 = jnp.floor((means2d_y + ry) / layout.tile_h).astype(jnp.int32)
+    ty0 = jnp.clip(ty0, 0, layout.n_tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, layout.n_tiles_y - 1)
+    return ty0 // layout.band_rows, ty1 // layout.band_rows
+
+
+def route_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
+                  ry: jnp.ndarray, valid: jnp.ndarray,
+                  layout: BandLayout, send_cap: int):
+    """Compact records into per-destination send blocks.
+
+    records: (K, R) rows to route (row must self-invalidate when zeroed —
+    the binning radius column is 0). Returns (send (n_model*send_cap, R),
+    n_dropped ()). Pure per-device code — usable outside shard_map for
+    unit tests."""
+    K = records.shape[0]
+    b0, b1 = band_span(means2d_y, ry, layout)
+    dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
+    mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
+    # per-destination compaction: keys == row index when routed, K when
+    # not; a row-wise sort lists each destination's row indices first
+    keys = jnp.where(mask, jnp.arange(K, dtype=jnp.int32)[None, :], K)
+    keys = jnp.sort(keys, axis=1)[:, :send_cap]            # (n_model, S)
+    slot_valid = keys < K
+    idx = jnp.minimum(keys, K - 1).reshape(-1)
+    send = records[idx] * slot_valid.reshape(-1)[:, None].astype(
+        records.dtype)
+    n_dropped = jnp.sum(mask) - jnp.sum(slot_valid)
+    return send, n_dropped
+
+
+def exchange_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
+                     ry: jnp.ndarray, valid: jnp.ndarray,
+                     layout: BandLayout, send_cap: int,
+                     axis_name: str = "model"):
+    """Route + all_to_all. Inside shard_map over `axis_name` only.
+    Returns (recv (n_model*send_cap, R), n_dropped ()) — recv rows are
+    the records every shard routed to THIS device's band."""
+    send, n_dropped = route_records(records, means2d_y, ry, valid,
+                                    layout, send_cap)
+    if layout.n_model == 1:
+        return send, n_dropped
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    return recv, n_dropped
+
+
+def count_routed_records(means2d_y: jnp.ndarray, ry: jnp.ndarray,
+                         valid: jnp.ndarray, layout: BandLayout):
+    """Max records any single destination band receives from this shard —
+    the quantity `send_cap` must cover. Jittable; use max over sample
+    views x margin to calibrate (mirrors `count_render_instances`)."""
+    b0, b1 = band_span(means2d_y, ry, layout)
+    dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
+    mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
+    return jnp.max(jnp.sum(mask, axis=1))

@@ -361,6 +361,49 @@ def run_densify(cfg: ModelConfig, opt, state: TrainState, iteration: int,
                       stats=new_stats)
 
 
+def pad_state_capacity(state: TrainState, C_new: int) -> TrainState:
+    """Grow a TrainState's padded capacity to C_new rows (no live-row
+    change). Used by the sharded trainer to make the anchor table
+    divisible by the mesh's "model" axis before `shard_state`."""
+    C = state.params.anchor.shape[0]
+    if C_new == C:
+        return state
+    assert C_new > C, f"cannot shrink capacity {C} -> {C_new}"
+    k = state.params.offset.shape[1]
+
+    def pad(a, rows):
+        a = np.asarray(a)
+        out = np.zeros((rows,) + a.shape[1:], dtype=a.dtype)
+        out[:a.shape[0]] = a
+        return jnp.asarray(out)
+
+    rot = np.zeros((C_new, 4), dtype=np.float32)
+    rot[:, 0] = 1.0
+    rot[:C] = np.asarray(state.rotation)
+    p = state.params
+    new_params = p._replace(
+        anchor=pad(p.anchor, C_new), offset=pad(p.offset, C_new),
+        feat=pad(p.feat, C_new), scaling_log=pad(p.scaling_log, C_new))
+    rep = lambda t: t._replace(
+        anchor=pad(t.anchor, C_new), offset=pad(t.offset, C_new),
+        feat=pad(t.feat, C_new), scaling_log=pad(t.scaling_log, C_new))
+    new_stats = DensifyStats(
+        anchor_opacity_accum=pad(state.stats.anchor_opacity_accum, C_new),
+        anchor_demon=pad(state.stats.anchor_demon, C_new),
+        offset_gradient_accum=pad(state.stats.offset_gradient_accum,
+                                  C_new * k),
+        offset_denom=pad(state.stats.offset_denom, C_new * k),
+        offset_opacity_accum=pad(state.stats.offset_opacity_accum,
+                                 C_new * k),
+        max_radii2d=pad(state.stats.max_radii2d, C_new * k))
+    return state._replace(
+        params=new_params, rotation=jnp.asarray(rot),
+        level=pad(state.level, C_new),
+        extra_level=pad(state.extra_level, C_new),
+        opt=state.opt._replace(mu=rep(state.opt.mu), nu=rep(state.opt.nu)),
+        stats=new_stats)
+
+
 def clean_stats(state: TrainState, cfg: ModelConfig) -> TrainState:
     """`gaussians.clean()` at update_until (`train.py:270-273`)."""
     C = state.params.anchor.shape[0]

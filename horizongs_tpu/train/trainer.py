@@ -46,7 +46,8 @@ class Trainer:
                  rasterizer: str = "auto", seed: int = 0,
                  wandb_run=None, viewer_port: Optional[int] = None,
                  tb_writer=None,
-                 profile_steps: Optional[tuple] = None):
+                 profile_steps: Optional[tuple] = None,
+                 mesh=None, band_cap: Optional[int] = None):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -58,6 +59,25 @@ class Trainer:
         self.wandb = wandb_run
         self.tb = tb_writer
         self._steps = {}
+        # multi-chip: a jax.sharding.Mesh ("data" x "model") switches the
+        # trainer onto the sharded step — anchors tensor-parallel over
+        # "model" with tile-band rasterization, n_data cameras per step
+        # (`parallel/step.py`; replaces the reference's single-GPU-only
+        # driver `train.py:83-285` at N devices)
+        self.mesh = mesh
+        self.band_cap = band_cap
+        if mesh is not None:
+            from horizongs_tpu.parallel.step import shard_state
+            n_model = mesh.shape["model"]
+            C = int(scene.train_state.params.anchor.shape[0])
+            if C % n_model:
+                from horizongs_tpu.train.densify import pad_state_capacity
+                C_new = -(-C // n_model) * n_model
+                scene.train_state = pad_state_capacity(
+                    scene.train_state, C_new)
+                self.log(f"padded anchor capacity {C} -> {C_new} "
+                         f"(divisible by model={n_model})")
+            scene.train_state = shard_state(scene.train_state, mesh)
         # per-resolution capacity margins: one overflowing view at one
         # resolution must not recompile the step functions of the others
         self._cap_margin = defaultdict(lambda: 1.25)
@@ -79,6 +99,31 @@ class Trainer:
             self.viewer = ViewerServer(port=viewer_port)
             self.log(f"viewer listening on :{self.viewer.bound_port}")
 
+    def _host_state(self):
+        """Replicated host view of the train state (identity when not
+        sharded) — for densify epochs, checkpoints, vis and eval."""
+        if self.mesh is None:
+            return self.state
+        from horizongs_tpu.parallel.step import unshard_state
+        return unshard_state(self.state)
+
+    def _capacity_block(self) -> int:
+        """Densify repack block: keeps the padded capacity divisible by
+        the mesh's "model" axis (anchor rows shard evenly)."""
+        import math
+        base = 4096
+        if self.mesh is None:
+            return base
+        return math.lcm(base, self.mesh.shape["model"])
+
+    def _place_state(self, host_state):
+        """Host state -> training placement (shard onto the mesh when
+        multi-chip; identity otherwise)."""
+        if self.mesh is None:
+            return host_state
+        from horizongs_tpu.parallel.step import shard_state
+        return shard_state(host_state, self.mesh)
+
     def _calibrate_cap(self, H, W, samples: int = 6):
         """Calibrated tile-instance capacity for (H, W): max measured
         count over sample train views x margin, rounded to a geometric
@@ -95,8 +140,9 @@ class Trainer:
         if not cams:
             return None
         cams = cams[:: max(len(cams) // samples, 1)][:samples]
-        mlps = mlps_from_params(self.state.params)
-        astate = self.state.anchor_state()
+        st = self._host_state()
+        mlps = mlps_from_params(st.params)
+        astate = st.anchor_state()
         n = max(int(count_render_instances(
                 c, self.cfg, mlps, astate,
                 add_prefilter=self.add_prefilter)) for c in cams)
@@ -109,17 +155,37 @@ class Trainer:
             cap = self._calibrate_cap(H, W)
             if cap is not None:
                 self.log(f"instance capacity for {W}x{H}: {cap}")
-            self._steps[key] = build_train_step(
-                self.cfg, self.op, H, W,
-                spatial_lr_scale=self.scene.cameras_extent,
-                frozen_mlps=self.scene.frozen_mlps,
-                add_prefilter=self.add_prefilter,
-                rasterizer=self.rasterizer,
-                active_sh_degree=self.active_sh_degree,
-                background=self.scene.background,
-                frozen_appearance=getattr(self.scene, "frozen_appearance",
-                                          False),
-                instance_cap=cap)
+            if self.mesh is None:
+                self._steps[key] = build_train_step(
+                    self.cfg, self.op, H, W,
+                    spatial_lr_scale=self.scene.cameras_extent,
+                    frozen_mlps=self.scene.frozen_mlps,
+                    add_prefilter=self.add_prefilter,
+                    rasterizer=self.rasterizer,
+                    active_sh_degree=self.active_sh_degree,
+                    background=self.scene.background,
+                    frozen_appearance=getattr(self.scene,
+                                              "frozen_appearance", False),
+                    instance_cap=cap)
+            else:
+                from horizongs_tpu.parallel.step import (
+                    build_sharded_train_step)
+                # the sharded step composites via the field-level API —
+                # the dense oracle has no record boundary to exchange
+                rast = ("tiled" if self.rasterizer == "dense"
+                        else self.rasterizer)
+                self._steps[key] = build_sharded_train_step(
+                    self.cfg, self.op, self.mesh, H, W,
+                    spatial_lr_scale=self.scene.cameras_extent,
+                    frozen_mlps=self.scene.frozen_mlps,
+                    frozen_appearance=getattr(self.scene,
+                                              "frozen_appearance", False),
+                    add_prefilter=self.add_prefilter,
+                    rasterizer=rast,
+                    active_sh_degree=self.active_sh_degree,
+                    background=self.scene.background,
+                    instance_cap=cap, shard_tiles=True,
+                    band_cap=self.band_cap)
         return self._steps[key]
 
     def _pick_camera(self, stacks):
@@ -144,14 +210,43 @@ class Trainer:
             stack = stacks["all"]
         return stack.pop(self.rng.randint(0, len(stack) - 1))
 
+    def _pick_batch(self, stacks, n: int):
+        """n same-resolution cameras for one data-parallel step. Sampling
+        rules (aerial/street proportion) are per camera; cameras of
+        other resolutions drawn along the way go back to their stacks.
+        If the dataset can't fill the batch at this resolution, existing
+        picks repeat (duplicated views weigh 2x in the mean gradient —
+        logged once)."""
+        cams = [self._pick_camera(stacks)]
+        H, W = cams[0].height, cams[0].width
+        putback, tries = [], 0
+        while len(cams) < n and tries < 8 * n:
+            c = self._pick_camera(stacks)
+            tries += 1
+            if (c.height, c.width) == (H, W):
+                cams.append(c)
+            else:
+                putback.append(c)
+        for c in putback:
+            key = (c.image_type if self.pp.camera_balance else "all")
+            stacks[key].append(c)
+        if len(cams) < n:
+            if not getattr(self, "_warned_batch_fill", False):
+                self.log(f"only {len(cams)} cameras at {W}x{H} — "
+                         f"repeating views to fill the {n}-camera batch")
+                self._warned_batch_fill = True
+            cams = [cams[i % len(cams)] for i in range(n)]
+        return cams
+
     def _dump_vis(self, cam, it: int) -> None:
         """Side-by-side gt | render (| depth | normals) grid."""
         from horizongs_tpu.render import render as render_fn
         from horizongs_tpu.train.evaluate import save_image
         from horizongs_tpu.train.optim import mlps_from_params
         from horizongs_tpu.utils.viz import image_grid, vis_depth, vis_normal
-        pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
-                        self.state.anchor_state(), self.scene.background,
+        st = self._host_state()
+        pkg = render_fn(cam, self.cfg, mlps_from_params(st.params),
+                        st.anchor_state(), self.scene.background,
                         add_prefilter=self.add_prefilter,
                         active_sh_degree=self.active_sh_degree,
                         rasterizer=self.rasterizer)
@@ -176,8 +271,9 @@ class Trainer:
                      width=cam_d["width"], height=cam_d["height"],
                      cam_center=jnp.asarray(
                          np.linalg.inv(cam_d["viewmat"])[:3, 3]))
-        pkg = render_fn(cam, self.cfg, mlps_from_params(self.state.params),
-                        self.state.anchor_state(), self.scene.background,
+        st = self._host_state()
+        pkg = render_fn(cam, self.cfg, mlps_from_params(st.params),
+                        st.anchor_state(), self.scene.background,
                         add_prefilter=self.add_prefilter,
                         active_sh_degree=self.active_sh_degree,
                         rasterizer=self.rasterizer,
@@ -191,7 +287,8 @@ class Trainer:
         from horizongs_tpu.render import render as render_fn
         from horizongs_tpu.train.losses import l1_loss, psnr
         from horizongs_tpu.train.optim import mlps_from_params
-        mlps = mlps_from_params(self.state.params)
+        host = self._host_state()
+        mlps = mlps_from_params(host.params)
         results = {}
         test = self.scene.get_test_cameras()[:max_views]
         train = self.scene.get_train_cameras()[::5][:max_views]
@@ -201,7 +298,7 @@ class Trainer:
             l1s, psnrs = [], []
             for vi, cam in enumerate(cams):
                 pkg = render_fn(cam, self.cfg, mlps,
-                                self.state.anchor_state(),
+                                host.anchor_state(),
                                 self.scene.background,
                                 add_prefilter=self.add_prefilter,
                                 active_sh_degree=self.active_sh_degree,
@@ -251,6 +348,7 @@ class Trainer:
         stacks = defaultdict(list)
         ema_loss = 0.0
         densify_cnt = 0
+        densify_epochs = 0
         history = []
         t_start = time.time()
 
@@ -286,15 +384,27 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self.log("profiler trace stopped")
 
-            cam = self._pick_camera(stacks)
-            do_stats = (op.start_stat < it < op.update_until) and (
-                (cam.image_type == "aerial" and pp.aerial_densify)
-                or (cam.image_type == "street" and pp.street_densify))
-            ct = camera_tensors(cam, do_stats=do_stats)
+            in_stat_window = op.start_stat < it < op.update_until
+
+            def _gate(c):
+                return in_stat_window and (
+                    (c.image_type == "aerial" and pp.aerial_densify)
+                    or (c.image_type == "street" and pp.street_densify))
+
+            if self.mesh is None:
+                cam = self._pick_camera(stacks)
+                do_stats = _gate(cam)
+                ct = camera_tensors(cam, do_stats=do_stats)
+                n_stat_views = int(do_stats)
+            else:
+                cams = self._pick_batch(stacks, self.mesh.shape["data"])
+                cam = cams[0]
+                cts = [camera_tensors(c, do_stats=_gate(c)) for c in cams]
+                ct = jax.tree.map(lambda *xs: jnp.stack(xs), *cts)
+                n_stat_views = sum(_gate(c) for c in cams)
             step = self._step_fn(cam.height, cam.width)
             self.state, metrics = step(self.state, ct, it)
-            if do_stats:
-                densify_cnt += 1
+            densify_cnt += n_stat_views
 
             loss = float(metrics["loss"])
             dropped = int(metrics.get("n_dropped", 0))
@@ -335,28 +445,31 @@ class Trainer:
             # densification epochs (`train.py:256-273`). The trigger
             # matches the reference exactly: densify_cnt counts only
             # stat-accumulating views (`train.py:260-264` — NOT raw
-            # iterations), so with aerial_densify only and a 2-1 camera
-            # proportion an epoch fires every ~1.5 * update_interval
-            # iterations, same as upstream. One deliberate deviation:
-            # the reference re-fires every subsequent non-stat iteration
-            # while densify_cnt sits on a multiple; we bump densify_cnt
-            # after the epoch so it fires exactly once per interval.
-            if op.start_stat < it < op.update_until:
+            # iterations; n_data views per step when sharded), so with
+            # aerial_densify only and a 2-1 camera proportion an epoch
+            # fires every ~1.5 * update_interval iterations, same as
+            # upstream. One deliberate deviation: the reference re-fires
+            # every subsequent non-stat iteration while densify_cnt sits
+            # on a multiple; we fire exactly once per interval crossing.
+            if in_stat_window:
                 if (op.densification and it > op.update_from
-                        and densify_cnt > 0
-                        and densify_cnt % op.update_interval == 0):
+                        and densify_cnt // op.update_interval
+                        > densify_epochs):
+                    densify_epochs = densify_cnt // op.update_interval
+                    st = self._host_state()
                     if self.scene.base is not None:
-                        self.state = roll_back(self.state, self.scene.base,
-                                               cfg)
-                    self.state = run_densify(
-                        cfg, op, self.state, it, stage=self.scene.stage,
+                        st = roll_back(st, self.scene.base, cfg)
+                    st = run_densify(
+                        cfg, op, st, it, stage=self.scene.stage,
                         rng=self.np_rng, cam_infos=self.scene.cam_infos,
-                        weed_ratio=self.scene.weed_ratio)
-                    densify_cnt += 1  # avoid retriggering until next interval
+                        weed_ratio=self.scene.weed_ratio,
+                        capacity_block=self._capacity_block())
+                    self.state = self._place_state(st)
             elif it == op.update_until:
+                st = self._host_state()
                 if self.scene.base is not None:
-                    self.state = roll_back(self.state, self.scene.base, cfg)
-                self.state = clean_stats(self.state, cfg)
+                    st = roll_back(st, self.scene.base, cfg)
+                self.state = self._place_state(clean_stats(st, cfg))
 
             # periodic train-view vis grid (`train.py:230-254`)
             vis_step = int(getattr(pp, "vis_step", 0) or 0)
@@ -370,11 +483,11 @@ class Trainer:
                 self._report(it)
             if it in save_iterations:
                 self.log(f"[ITER {it}] Saving Gaussians")
-                self.scene.save(it, self.state)
+                self.scene.save(it, self._host_state())
             if it in checkpoint_iterations:
                 self.log(f"[ITER {it}] Saving Checkpoint")
                 save_train_checkpoint(
                     os.path.join(self.scene.model_path, f"chkpnt{it}.npz"),
-                    self.state, it)
+                    self._host_state(), it)
 
         return history

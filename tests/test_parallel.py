@@ -154,3 +154,152 @@ def test_sharded_step_pallas_rasterizer():
                                np.asarray(st_t.params.anchor), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_p.params.feat),
                                np.asarray(st_t.params.feat), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# tile-band-sharded rasterization (round 2): no device holds the full
+# decoded gaussian set; records are exchanged by band ownership
+# ---------------------------------------------------------------------------
+
+def test_band_sharded_step_matches_single_device():
+    """Band exchange + per-band compositing reproduces the single-device
+    step bit-for-bit-ish (<=1e-5), incl. Adam second moments (gradient
+    scale) and densify statistics (probe gradients)."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB+ED",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+
+    step1 = build_train_step(cfg, opt, H, W, add_prefilter=False,
+                             rasterizer="tiled")
+    ref_state, ref_metrics = step1(jax.tree.map(jnp.copy, ts),
+                                   camera_tensors(cams[0], do_stats=True), 1)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    stepN = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                     add_prefilter=False, shard_tiles=True)
+    new_state, m = stepN(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
+
+    assert float(m["loss"]) == pytest.approx(float(ref_metrics["loss"]),
+                                             rel=1e-5)
+    assert int(m["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(new_state.params.anchor),
+                               np.asarray(ref_state.params.anchor),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.opt.nu.feat),
+                               np.asarray(ref_state.opt.nu.feat),
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(new_state.stats.offset_gradient_accum),
+        np.asarray(ref_state.stats.offset_gradient_accum), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.stats.max_radii2d),
+                               np.asarray(ref_state.stats.max_radii2d),
+                               atol=1e-6)
+
+
+def test_band_sharded_step_2dgs():
+    """2DGS (normals / distortion / median-depth losses) through the
+    band-sharded step matches the single-device step."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB+ED",
+                      voxel_size=0.1, gs_attr="2D")
+    cams, g = _targets(1)
+    opt = make_optim(start_stat=0, lambda_normal=0.05, lambda_dist=100.0,
+                     normal_start_iter=0, dist_start_iter=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+
+    step1 = build_train_step(cfg, opt, H, W, add_prefilter=False,
+                             rasterizer="tiled")
+    ref_state, ref_metrics = step1(jax.tree.map(jnp.copy, ts),
+                                   camera_tensors(cams[0], do_stats=True), 1)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    stepN = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                     add_prefilter=False, shard_tiles=True)
+    new_state, m = stepN(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
+
+    assert float(m["loss"]) == pytest.approx(float(ref_metrics["loss"]),
+                                             rel=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.params.anchor),
+                               np.asarray(ref_state.params.anchor),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.opt.nu.feat),
+                               np.asarray(ref_state.opt.nu.feat),
+                               atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_state.stats.offset_gradient_accum),
+        np.asarray(ref_state.stats.offset_gradient_accum), atol=1e-6)
+
+
+def test_band_sharded_pallas_matches_scan():
+    """The Pallas kernels composite exchanged records per band inside
+    shard_map (interpret mode on the CPU mesh)."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(2)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+
+    step_t = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                      add_prefilter=False, shard_tiles=True)
+    st_t, m_t = step_t(shard_state(jax.tree.map(jnp.copy, ts), mesh),
+                       _stack_cams(cams[:2]), 1)
+
+    step_p = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                      add_prefilter=False, shard_tiles=True,
+                                      rasterizer="pallas_interpret",
+                                      instance_cap=4096)
+    st_p, m_p = step_p(shard_state(ts, mesh), _stack_cams(cams[:2]), 1)
+
+    assert float(m_p["loss"]) == pytest.approx(float(m_t["loss"]), rel=2e-3)
+    np.testing.assert_allclose(np.asarray(st_p.params.anchor),
+                               np.asarray(st_t.params.anchor), atol=1e-4)
+
+
+def test_band_cap_overflow_counted():
+    """A too-small band_cap drops records but reports them in
+    metrics["n_dropped"] — never silent."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    step = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                    add_prefilter=False, shard_tiles=True,
+                                    band_cap=1)
+    st, m = step(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
+    assert int(m["n_dropped"]) > 0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_route_records_compaction():
+    """Unit: per-destination compaction routes each record to exactly the
+    bands its vertical extent touches, in original order, and counts
+    overflow."""
+    from horizongs_tpu.parallel.tile_exchange import (
+        band_layout, route_records, count_routed_records)
+    layout = band_layout(height=64, width=32, n_model=4, tile_h=16)
+    assert layout.band_rows == 1 and layout.band_px == 16
+    my = jnp.asarray([8.0, 24.0, 30.0, 62.0, 8.0])
+    ry = jnp.asarray([2.0, 2.0, 12.0, 2.0, 2.0])   # row2 spans bands 1-2
+    valid = jnp.asarray([True, True, True, True, False])
+    records = jnp.arange(5, dtype=jnp.float32)[:, None] + 1.0  # (5,1)
+    send, dropped = route_records(records, my, ry, valid, layout,
+                                  send_cap=2)
+    send = np.asarray(send).reshape(4, 2)
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(send[0], [1.0, 0.0])   # band 0: rec0
+    np.testing.assert_array_equal(send[1], [2.0, 3.0])   # band 1: rec1+2
+    np.testing.assert_array_equal(send[2], [3.0, 0.0])   # band 2: rec2
+    np.testing.assert_array_equal(send[3], [4.0, 0.0])   # band 3: rec3
+    assert int(count_routed_records(my, ry, valid, layout)) == 2
+    # overflow: cap 1 drops one of band 1's two records
+    send1, dropped1 = route_records(records, my, ry, valid, layout,
+                                    send_cap=1)
+    assert int(dropped1) == 1

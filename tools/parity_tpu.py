@@ -3,7 +3,13 @@
 Runs a small scene both ways ON THE TPU and reports max abs errors of
 render/alpha and input gradients. Guards against MXU default-precision
 (bf16) regressions in the compositing path.
+
+`--assert` exits nonzero when any error exceeds tolerance — this is the
+mode `tests/test_tpu_hardware.py` drives in a subprocess, so `pytest`
+on a machine with a real TPU exercises the compiled kernels (the main
+test process pins itself to the virtual CPU mesh, conftest.py).
 """
+import argparse
 import os
 import sys
 
@@ -20,6 +26,17 @@ from horizongs_tpu.ops.reference import render_dense_2dgs, render_dense_3dgs
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assert", dest="check", action="store_true",
+                    help="exit 1 when any error exceeds tolerance")
+    opts = ap.parse_args()
+    failures = []
+
+    def record(name, err, tol):
+        print(f"{name} max err: {err:.3e}  (tol {tol:.0e})")
+        if err > tol:
+            failures.append(f"{name}: {err:.3e} > {tol:.0e}")
+
     cam = lookat_camera(width=128, height=128, eye=(0, 0, -4))
     g = {k: jnp.asarray(v) for k, v in
          random_gaussians(512, seed=3, extent=0.8,
@@ -30,8 +47,8 @@ def main():
 
     r_d, a_d, _ = jax.jit(lambda: render_dense_3dgs(*args))()
     r_p, a_p, _ = jax.jit(lambda: rasterize_pallas_3dgs(*args))()
-    print(f"3DGS render max err: {float(jnp.abs(r_p - r_d).max()):.3e}")
-    print(f"3DGS alpha  max err: {float(jnp.abs(a_p - a_d).max()):.3e}")
+    record("3DGS render", float(jnp.abs(r_p - r_d).max()), 5e-4)
+    record("3DGS alpha ", float(jnp.abs(a_p - a_d).max()), 5e-4)
 
     def loss_d(m, s, o, c):
         r, _, _ = render_dense_3dgs(m, g["quats"], s, o, c, cam.viewmat,
@@ -48,14 +65,20 @@ def main():
     gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(*la)
     for name, a, b in zip(["means", "scales", "opac", "colors"], gd, gp):
         scale = float(jnp.abs(a).max()) or 1.0
-        err = float(jnp.abs(b - a).max())
-        print(f"3DGS grad {name:7s} max err: {err:.3e}  (rel {err/scale:.3e})")
+        record(f"3DGS grad {name:7s} (rel)",
+               float(jnp.abs(b - a).max()) / scale, 1e-3)
 
     r2_d = jax.jit(lambda: render_dense_2dgs(*args))()
     r2_p = jax.jit(lambda: rasterize_pallas_2dgs(*args))()
-    print(f"2DGS render max err: {float(jnp.abs(r2_p[0] - r2_d[0]).max()):.3e}")
-    print(f"2DGS normal max err: {float(jnp.abs(r2_p[2] - r2_d[2]).max()):.3e}")
+    record("2DGS render", float(jnp.abs(r2_p[0] - r2_d[0]).max()), 1e-3)
+    record("2DGS normal", float(jnp.abs(r2_p[2] - r2_d[2]).max()), 1e-3)
+
+    if failures:
+        print("FAIL: " + "; ".join(failures))
+        return 1 if opts.check else 0
+    print("PASS")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
