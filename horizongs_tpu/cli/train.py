@@ -54,7 +54,17 @@ def main(argv=None):
                         help="per (src,dst) record slots of the tile-band "
                         "exchange (default: never drops; smaller = less "
                         "memory, overflow counted + recalibrated)")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="enable jax_debug_nans: every jitted step "
+                        "re-runs op-by-op on a NaN and raises at the "
+                        "producing primitive (the reference's "
+                        "torch.autograd.set_detect_anomaly, train.py:760; "
+                        "slow — debugging only)")
     args = parser.parse_args(argv)
+
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from horizongs_tpu.cli.common import get_logger, load_config
     from horizongs_tpu.data.scene import Scene

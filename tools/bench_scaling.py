@@ -107,16 +107,36 @@ def main():
         print(f"devices={n:2d}  step={dt*1e3:8.1f} ms  "
               f"rays/s={rays:,.0f}")
     base = results[0]["rays_per_sec"]
+    # Two efficiency notions:
+    #  * linear: wall-clock speedup vs n-fold ideal — THE metric on real
+    #    chips, where each device adds compute.
+    #  * shared_host: total throughput vs the 1-device run — the only
+    #    meaningful notion on a virtual mesh (all "devices" oversubscribe
+    #    one host's cores, so flat total throughput IS the ideal; the gap
+    #    below 1.0 is the collective/sharding overhead the virtual mesh
+    #    can actually measure).
+    virtual = (jax.default_backend() == "cpu"
+               and len(jax.devices()) > os.cpu_count())
     for r in results:
-        r["efficiency"] = r["rays_per_sec"] / (base * r["devices"])
+        r["efficiency_linear"] = r["rays_per_sec"] / (base * r["devices"])
+        r["efficiency_shared_host"] = r["rays_per_sec"] / base
+        r["efficiency"] = (r["efficiency_shared_host"] if virtual
+                           else r["efficiency_linear"])
     out = {"platform": jax.default_backend(),
+           "virtual_shared_host_mesh": virtual,
+           "efficiency_definition": ("total-throughput vs 1 device "
+                                     "(flat ideal: devices share one "
+                                     "host's cores)" if virtual else
+                                     "wall-clock speedup vs linear ideal"),
            "width": args.width, "height": args.height,
            "capacity": args.capacity, "rasterizer": args.rasterizer,
            "results": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}; efficiency @max devices: "
-          f"{results[-1]['efficiency']:.2f}")
+          f"{results[-1]['efficiency']:.2f}"
+          + (" (shared-host virtual mesh: flat-total-throughput ideal)"
+             if virtual else ""))
 
 
 if __name__ == "__main__":
