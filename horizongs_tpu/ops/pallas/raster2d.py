@@ -251,9 +251,9 @@ def rasterize2d_fwd(inst_data, tile_starts, n_tiles_x: int, n_tiles_y: int,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
-                daux_hbm, aux_hbm, ginst_ref, buf, go, gaux, saux, gbuf,
-                sem, sem_go, wsem, *, n_tiles_x):
+def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
+                daux_ref, aux_ref, ginst_ref, buf, gbuf,
+                sem, wsem, *, n_tiles_x):
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
@@ -262,15 +262,13 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
     out0 = out_starts[t]
     n_live = ifin[t]      # chunks the forward actually composited
 
-    cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
-    cp_go.start()
-    cp_ga = pltpu.make_async_copy(daux_hbm.at[t], gaux, sem_go)
-    cp_ga.start()
-    cp_sa = pltpu.make_async_copy(aux_hbm.at[t], saux, sem_go)
-    cp_sa.start()
-    cp_go.wait()
-    cp_ga.wait()
-    cp_sa.wait()
+    # dacc/daux/aux arrive as auto-pipelined VMEM blocks: pallas
+    # prefetches tile t+1's frames during tile t's walk, so the per-tile
+    # prologue costs no DMA latency (at ~2 chunks/tile the prologue
+    # otherwise dominates — same change as raster3d._bwd_kernel)
+    go = dacc_ref[0]                                   # (INST_DIM, P)
+    gaux = daux_ref[0]                                 # (AUX_DIM, P)
+    saux = aux_ref[0]                                  # (AUX_DIM, P)
 
     px, py = _pixel_coords(t, n_tiles_x)
 
@@ -327,7 +325,7 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         D_prev = D_total - D_suf - wz
 
         # total dL/dw: fields (color/normal/alpha) + depth + distortion
-        dw = dot_f32(go[:], chunk, (((0,), (0,)), ((), ())))
+        dw = dot_f32(go, chunk, (((0,), (0,)), ((), ())))
         dw = dw + d_D * z
         dw = dw + d_dist * 2.0 * ((z * A_prev - D_prev)
                                   + (D_suf - z * A_suf))
@@ -383,7 +381,7 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         gmx = -rsum(ddx)
         gmy = -rsum(ddy)
         gop = rsum(dop_pg)
-        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))        # (24, G)
+        gcd = dot_f32(go, w, (((1,), (0,)), ((), ())))        # (24, G)
         zero = jnp.zeros((1, G), F32)
 
         @pl.when(k >= 2)
@@ -431,18 +429,17 @@ def rasterize2d_bwd(inst_data, tile_starts, out_starts, ifin, d_acc,
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec((1, INST_DIM, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, AUX_DIM, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, AUX_DIM, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, INST_DIM, G), F32),   # instance chunks
-            pltpu.VMEM((INST_DIM, P), F32),      # d_acc frame
-            pltpu.VMEM((AUX_DIM, P), F32),       # d_aux frame
-            pltpu.VMEM((AUX_DIM, P), F32),       # saved aux frame
             pltpu.VMEM((2, INST_DIM, G), F32),   # grad write buffers
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -300,9 +300,9 @@ def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
-                dlogT_hbm, logT_final_hbm, ginst_ref, buf, go, gbuf,
-                lt_buf, sem, sem_go, wsem, *, n_tiles_x):
+def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
+                dlogT_ref, logT_final_ref, ginst_ref, buf, gbuf,
+                sem, wsem, *, n_tiles_x):
     t = pl.program_id(0)
     start = tile_starts[t]
     count = tile_starts[t + 1] - start
@@ -317,20 +317,15 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
     # even or equals n_chunks; walking chunks [0, n_live) is exact either
     # way — a beyond-segment chunk contributes zero via the count mask.
 
-    cp_go = pltpu.make_async_copy(dacc_hbm.at[t], go, sem_go)
-    cp_go.start()
-    cp_dl = pltpu.make_async_copy(dlogT_hbm.at[t], lt_buf.at[0], sem_go)
-    cp_dl.start()
-    cp_lt = pltpu.make_async_copy(logT_final_hbm.at[t], lt_buf.at[1], sem_go)
-    cp_lt.start()
-    cp_go.wait()
-    cp_dl.wait()
-    cp_lt.wait()
-
+    # dacc/dlogT/logT_final arrive as auto-pipelined VMEM blocks: pallas
+    # prefetches tile t+1's frames during tile t's walk, so the per-tile
+    # prologue costs no DMA latency (at ~2 chunks/tile segment length the
+    # prologue otherwise dominates the whole kernel)
+    go = dacc_ref[0]                                  # (16, P)
     px, py = _pixel_coords(t, n_tiles_x)
 
-    dlogT = jnp.swapaxes(lt_buf[0], 0, 1)             # (P, 1)
-    logT0 = jnp.swapaxes(lt_buf[1], 0, 1)             # (P, 1)
+    dlogT = jnp.swapaxes(dlogT_ref[0], 0, 1)          # (P, 1)
+    logT0 = jnp.swapaxes(logT_final_ref[0], 0, 1)     # (P, 1)
 
     def dma(i, slot):
         off = pl.multiple_of(base + i * G, G)
@@ -364,7 +359,7 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         w = jnp.where(logT_tot > LOG_T_EPS, alpha * T, 0.0)
 
         # dL/dw (P, G) = d_acc^T (P, 16) @ fields (16, G)
-        dw = dot_f32(go[:], chunk, (((0,), (0,)), ((), ())))
+        dw = dot_f32(go, chunk, (((0,), (0,)), ((), ())))
         wdw = w * dw
         S_after = S + lane_suffix_incl(wdw) - wdw      # strict suffix
         live = w > 0.0
@@ -400,7 +395,7 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_hbm,
         gc = 0.5 * syv
         # dop = (alpha/op)·dalpha = -dsig/op  (masked identically to dsig)
         gop = jnp.where(op > 0, -s0 / jnp.maximum(op, 1e-12), 0.0)
-        gcd = dot_f32(go[:], w, (((1,), (0,)), ((), ())))       # (16, G)
+        gcd = dot_f32(go, w, (((1,), (0,)), ((), ())))          # (16, G)
         zero = jnp.zeros((1, G), F32)
 
         # reuse of this gbuf slot: make sure its previous write landed
@@ -453,17 +448,17 @@ def rasterize_bwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec((1, INST_DIM, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, INST_DIM, G), F32),   # double-buffered chunks
-            pltpu.VMEM((INST_DIM, P), F32),      # grad-out frame
             pltpu.VMEM((2, INST_DIM, G), F32),   # grad write buffers
-            pltpu.VMEM((2, 1, P), F32),          # dlogT / logT_final
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -312,18 +312,20 @@ def render_dense_2dgs(
     return render, alphas, normals, normals_from_depth, distort, median_depth, info
 
 
-def depth_to_normals(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+def depth_to_normals(depth: jnp.ndarray, K: jnp.ndarray,
+                     row0=0.0) -> jnp.ndarray:
     """Camera-space normals from a depth map via finite differences.
 
     Equivalent role to gsplat's `depth_to_normal` used for
     `render_normals_from_depth` (consumed by the reference's normal loss,
-    `train.py:180-188`). depth: (H, W) -> (H, W, 3).
-    """
+    `train.py:180-188`). depth: (H, W) -> (H, W, 3). `row0`: global image
+    row of depth's first row (the band-sharded step evaluates on a
+    halo-extended band patch, so pixel rays need global coordinates)."""
     H, W = depth.shape
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     xs = jnp.arange(W, dtype=depth.dtype) + 0.5
-    ys = jnp.arange(H, dtype=depth.dtype) + 0.5
+    ys = jnp.arange(H, dtype=depth.dtype) + 0.5 + row0
     px = (xs[None, :] - cx) / fx
     py = (ys[:, None] - cy) / fy
     pts = jnp.stack([px * depth, py * depth, depth], axis=-1)  # (H, W, 3)

@@ -57,10 +57,15 @@ from horizongs_tpu.ops.reference import depth_to_normals
 from horizongs_tpu.parallel.tile_exchange import (
     BandLayout,
     band_layout,
+    exchange_halo,
     exchange_records,
 )
 from horizongs_tpu.render import prefilter_anchors
-from horizongs_tpu.train.losses import assemble_loss, psnr
+from horizongs_tpu.train.losses import (
+    assemble_loss,
+    assemble_loss_band,
+    psnr,
+)
 from horizongs_tpu.train.optim import adam_step, lr_tree, mlps_from_params
 from horizongs_tpu.train.schedules import expon_lr, group_lrs
 from horizongs_tpu.train.step import CameraTensors, DensifyStats, TrainState, update_stats
@@ -222,46 +227,92 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                 cap=instance_cap, chunk=raster_chunk)
             extra_bands = []
 
-        # re-assemble the full image from bands (a few MB over ICI);
-        # every device computes the identical loss — the all_gather
-        # transpose hands each device its own band's cotangent
-        gather_img = partial(jax.lax.all_gather, axis_name="model",
-                             axis=0, tiled=True)
-        full = gather_img(render_b)[:height]
-        alphas = gather_img(alphas_b)[:height]
-        if full.shape[-1] == 4:
-            image, depth = full[..., :3], full[..., 3:4]
+        # band-local loss: every term is a masked interior sum over THIS
+        # band (extended with a 5-row halo so SSIM windows and the
+        # depth-normal differences see real neighbor rows), psum-ed into
+        # the full-image loss. No device ever assembles the full image
+        # and loss FLOPs scale 1/n_model (the previous scheme gathered
+        # all bands to every device and ran the full SSIM n_model
+        # times). The psum-ed loss is replicated-identical across
+        # "model" exactly like the gathered one, so the device_fn's
+        # 1/n_model gradient rescale is unchanged.
+        HALO = 5                               # SSIM 11x11 window radius
+        chans = [render_b, alphas_b] + extra_bands
+        sizes = [c.shape[-1] for c in chans]
+        patch_all = exchange_halo(jnp.concatenate(chans, axis=-1),
+                                  HALO, n_model)
+        Hp = band_px + 2 * HALO
+        dy0 = m_idx * band_px
+        grow = dy0 - HALO + jnp.arange(Hp, dtype=jnp.int32)  # global rows
+        row_ok = (grow >= 0) & (grow < height)
+        li = jnp.arange(Hp, dtype=jnp.int32)
+        interior = (row_ok & (li >= HALO) & (li < HALO + band_px)
+                    ).astype(jnp.float32)[:, None, None]
+        # zero phantom rows (beyond the image bottom they composite to
+        # pure background, which must not reach the loss)
+        patch_all = patch_all * row_ok.astype(jnp.float32)[:, None, None]
+        parts = []
+        off = 0
+        for s in sizes:
+            parts.append(patch_all[..., off:off + s])
+            off += s
+        render_p, alphas_p = parts[0], parts[1]
+        if render_p.shape[-1] == 4:
+            image_p, depth_p = render_p[..., :3], render_p[..., 3:4]
         else:
-            image, depth = full, None
+            image_p, depth_p = render_p, None
 
-        # the dreg/entropy terms need the full selection — gather only
-        # the small per-gaussian vectors they read (4 floats/gaussian)
-        gather_rows = partial(jax.lax.all_gather, axis_name="model",
-                              axis=0, tiled=True)
-        pkg = {"render": image, "render_depth": depth,
-               "render_alphas": alphas,
-               "scaling": gather_rows(dec.scales),
-               "selection_mask": gather_rows(dec.selection_mask)}
+        # patches of the replicated full-res camera tensors
+        pad_bottom = n_model * band_px + HALO - height
+        def patchify(x):
+            xp = jnp.pad(x, ((HALO, pad_bottom), (0, 0), (0, 0)))
+            return jax.lax.dynamic_slice_in_dim(xp, dy0, Hp, axis=0)
+        gt_p = patchify(cam.image)
+        am_p = patchify(cam.alpha_mask)
+        inv_p = patchify(cam.invdepth)
+        dm_p = patchify(cam.depth_mask)
+
+        pkg = {"render": image_p, "render_depth": depth_p,
+               "render_alphas": alphas_p}
         if cfg.gs_attr == "2D":
-            normals = gather_img(extra_bands[0])[:height]
-            distort = gather_img(extra_bands[1])[:height]
-            median = gather_img(extra_bands[2])[:height]
-            pkg["render_normals"] = normals
-            pkg["render_normals_from_depth"] = depth_to_normals(
-                median[..., 0], camera.K)
-            pkg["render_distort"] = distort
-            pkg["render_median_depth"] = median
+            normals_p, distort_p, median_p = parts[2], parts[3], parts[4]
+            nfd = depth_to_normals(median_p[..., 0], camera.K,
+                                   row0=(dy0 - HALO).astype(jnp.float32))
+            # the full-image computation leaves ddy (hence the normal)
+            # zero on the first/last image row — reproduce that here
+            # (the halo gives those rows a fabricated neighbor)
+            edge = (grow == 0) | (grow == height - 1)
+            nfd = jnp.where(edge[:, None, None], 0.0, nfd)
+            pkg["render_normals"] = normals_p
+            pkg["render_normals_from_depth"] = nfd
+            pkg["render_distort"] = distort_p
 
         depth_w = expon_lr(iteration, opt.depth_l1_weight_init,
                            opt.depth_l1_weight_final,
                            max_steps=opt.iterations) * cam.has_depth
-        loss, aux = assemble_loss(opt, pkg, cam.image, cam.alpha_mask,
-                                  cam.invdepth, cam.depth_mask,
-                                  iteration, depth_w, cfg.render_mode)
+        contrib, const, sums = assemble_loss_band(
+            opt, pkg, gt_p, am_p, inv_p, dm_p, iteration, depth_w,
+            cfg.render_mode, interior, height, width)
+        # scale regularizer: a masked mean over the globally selected
+        # gaussians — local sums, one fused psum with the loss terms
+        prod = jnp.prod(dec.scales, axis=-1) * dec.selection_mask
+        pk = jax.lax.psum(
+            {"contrib": contrib, "dreg_num": jnp.sum(prod),
+             "dreg_den": jnp.sum(dec.selection_mask), **sums}, "model")
+        loss = const + pk["contrib"]
+        if getattr(opt, "lambda_dreg", 0.0) > 0:
+            loss = loss + opt.lambda_dreg * (
+                pk["dreg_num"] / jnp.clip(pk["dreg_den"], 1.0, None))
+        D_c = float(height * width * 3)
+        mse = pk["mse_sum"] / D_c
+        aux = {"l1": pk["l1_sum"] / D_c, "ssim": pk["ssim_sum"] / D_c,
+               "depth_l1": pk["depth_sum"], "total": loss,
+               "psnr": 20.0 * jnp.log10(
+                   1.0 / jnp.sqrt(jnp.clip(mse, 1e-12, None)))}
         side = {"opacities": dec.opacities,
                 "selection_mask": dec.selection_mask,
                 "anchor_mask": dec.anchor_mask,
-                "radii": proj.radii, "render": image,
+                "radii": proj.radii,
                 "n_dropped": n_drop_exch + binfo["n_dropped"],
                 "local_stats": True}
         return loss, (aux, side)
@@ -314,9 +365,11 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         loss, aux = assemble_loss(opt, pkg, cam.image, cam.alpha_mask,
                                   cam.invdepth, cam.depth_mask,
                                   iteration, depth_w, cfg.render_mode)
+        aux["psnr"] = psnr(image * cam.alpha_mask,
+                           cam.image * cam.alpha_mask)
         side = {"opacities": opac, "selection_mask": sel,
                 "anchor_mask": gather(dec.anchor_mask),
-                "radii": info["radii"], "render": image,
+                "radii": info["radii"],
                 "n_dropped": info["n_dropped"],
                 "local_stats": False}
         return loss, (aux, side)
@@ -411,9 +464,7 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         metrics = {
             "loss": jax.lax.pmean(loss, "data"),
             "l1": jax.lax.pmean(aux["l1"], "data"),
-            "psnr": jax.lax.pmean(
-                psnr(side["render"] * cam.alpha_mask,
-                     cam.image * cam.alpha_mask), "data"),
+            "psnr": jax.lax.pmean(aux["psnr"], "data"),
             "n_dropped": jax.lax.pmax(
                 jax.lax.pmax(side["n_dropped"], "data"), "model"),
         }

@@ -102,6 +102,28 @@ def exchange_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
     return recv, n_dropped
 
 
+def exchange_halo(x: jnp.ndarray, halo: int, n_model: int,
+                  axis_name: str = "model") -> jnp.ndarray:
+    """Extend a band image (rows, W, C) with `halo` rows from the
+    vertically adjacent bands: device m receives the bottom rows of m-1
+    above and the top rows of m+1 below (zeros at the mesh ends — the
+    same zero padding the full-image SSIM window uses at the image
+    border). Differentiable: halo gradients ride the transposed
+    ppermutes back to the producing band. Inside shard_map only."""
+    if halo <= 0:
+        return x
+    top = x[:halo]
+    bot = x[x.shape[0] - halo:]
+    if n_model == 1:
+        z = jnp.zeros_like(top)
+        return jnp.concatenate([z, x, z], axis=0)
+    from_below = jax.lax.ppermute(
+        top, axis_name, [(m, m - 1) for m in range(1, n_model)])
+    from_above = jax.lax.ppermute(
+        bot, axis_name, [(m, m + 1) for m in range(n_model - 1)])
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
 def count_routed_records(means2d_y: jnp.ndarray, ry: jnp.ndarray,
                          valid: jnp.ndarray, layout: BandLayout):
     """Max records any single destination band receives from this shard —

@@ -82,17 +82,22 @@ def _blur5(img1: jnp.ndarray, img2: jnp.ndarray):
     return jnp.split(Z, 5, axis=-1)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
-         c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
-    """Mean SSIM over an HWC pair, same window/constants as the reference."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
+             c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """Per-pixel SSIM map of an HWC pair (11x11 gaussian window)."""
     mu1, mu2, m11, m22, m12 = _blur5(img1, img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = m11 - mu1_sq
     sigma2_sq = m22 - mu2_sq
     sigma12 = m12 - mu12
-    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
-    return jnp.mean(ssim_map)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """Mean SSIM over an HWC pair, same window/constants as the reference."""
+    return jnp.mean(ssim_map(img1, img2, c1, c2))
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
@@ -167,3 +172,88 @@ def assemble_loss(opt, render_pkg: dict, gt_image: jnp.ndarray,
     aux["depth_l1"] = ll1depth
     aux["total"] = loss
     return loss, aux
+
+
+def assemble_loss_band(opt, patch_pkg: dict, gt_patch: jnp.ndarray,
+                       alpha_mask_patch: jnp.ndarray,
+                       invdepth_patch: Optional[jnp.ndarray],
+                       depth_mask_patch: Optional[jnp.ndarray],
+                       iteration: jnp.ndarray,
+                       depth_weight: jnp.ndarray, render_mode: str,
+                       interior: jnp.ndarray,
+                       height: int, width: int):
+    """Band-local contribution to the full-image training loss.
+
+    The tile-band-sharded step computes each loss term on this device's
+    band only (extended with an `exchange_halo` strip so SSIM windows and
+    depth-normal differences see real neighbor rows) — the global loss is
+    then `const + psum(contrib) + dreg(num/den)` with NO device holding
+    the full image and no replicated loss FLOPs. Every term reduces to a
+    masked interior sum divided by the full-image denominator, so the
+    psum-ed total is bit-comparable to `assemble_loss` on the gathered
+    image (halo rows carry the same values the full image would).
+
+    patch_pkg: render / render_alphas (+2DGS: render_normals,
+    render_normals_from_depth, render_distort) as (Hp, W, C) patches.
+    `interior` (Hp, 1, 1): 1.0 exactly on this band's real image rows.
+    Returns (contrib, const, sums) — `sums` holds the quantities that
+    need a psum before becoming aux metrics (l1_sum, ssim_sum, mse_sum,
+    depth_sum)."""
+    image = patch_pkg["render"]
+    alpha = patch_pkg["render_alphas"]
+    image = image * alpha_mask_patch
+    gt = gt_patch * alpha_mask_patch
+
+    D_px = float(height * width)
+    D_c = D_px * image.shape[-1]
+
+    l1_sum = jnp.sum(jnp.abs(image - gt) * interior)
+    ssim_sum = jnp.sum(ssim_map(image, gt) * interior)
+    mse_sum = jnp.sum((image - gt) ** 2 * interior)
+
+    contrib = ((1.0 - opt.lambda_dssim) * l1_sum / D_c
+               - opt.lambda_dssim * ssim_sum / D_c)
+    const = opt.lambda_dssim * 1.0
+
+    if getattr(opt, "lambda_sky_opa", 0.0) > 0:
+        o = jnp.clip(alpha, 1e-6, 1 - 1e-6)
+        sky = alpha_mask_patch
+        contrib = contrib + opt.lambda_sky_opa * jnp.sum(
+            -(1 - sky) * jnp.log(1 - o) * interior) / D_px
+
+    if getattr(opt, "lambda_opacity_entropy", 0.0) > 0:
+        o = jnp.clip(alpha, 1e-6, 1 - 1e-6)
+        contrib = contrib + opt.lambda_opacity_entropy * jnp.sum(
+            -o * jnp.log(o) * interior) / D_px
+
+    if (getattr(opt, "lambda_normal", 0.0) > 0
+            and "render_normals" in patch_pkg):
+        normals = patch_pkg["render_normals"]
+        nfd = patch_pkg["render_normals_from_depth"]
+        nfd = nfd * jax.lax.stop_gradient(alpha)
+        n_err = (1.0 - jnp.sum(normals * nfd, axis=-1, keepdims=True))
+        gate = (iteration > opt.normal_start_iter).astype(jnp.float32)
+        contrib = contrib + opt.lambda_normal * gate * jnp.sum(
+            n_err * alpha_mask_patch * interior) / D_px
+
+    if (getattr(opt, "lambda_dist", 0.0) > 0
+            and "render_distort" in patch_pkg):
+        gate = (iteration > opt.dist_start_iter).astype(jnp.float32)
+        contrib = contrib + opt.lambda_dist * gate * jnp.sum(
+            patch_pkg["render_distort"] * alpha_mask_patch * interior) / D_px
+
+    depth_sum = jnp.asarray(0.0)
+    if invdepth_patch is not None and render_mode in ("RGB+D", "RGB+ED"):
+        rdepth = patch_pkg["render_depth"]
+        inv = jnp.where(rdepth > 0.0,
+                        1.0 / jnp.clip(rdepth, 1e-8, None), 0.0)
+        dmask = (depth_mask_patch if depth_mask_patch is not None
+                 else jnp.ones_like(inv))
+        gate = (iteration > opt.start_depth).astype(jnp.float32)
+        depth_sum = depth_weight * gate * jnp.sum(
+            jnp.abs((inv - invdepth_patch) * dmask) * interior) / D_px
+        contrib = contrib + depth_sum
+
+    sums = {"l1_sum": l1_sum, "ssim_sum": ssim_sum, "mse_sum": mse_sum,
+            "depth_sum": depth_sum}
+    return contrib, const, sums
