@@ -52,8 +52,9 @@ def main(argv=None):
                         "devices. Omit for the single-device step.")
     parser.add_argument("--band_cap", type=int, default=None,
                         help="per (src,dst) record slots of the tile-band "
-                        "exchange (default: never drops; smaller = less "
-                        "memory, overflow counted + recalibrated)")
+                        "exchange (default: auto-calibrated from sample "
+                        "views; overflow is counted + recalibrated, "
+                        "never silent)")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="enable jax_debug_nans: every jitted step "
                         "re-runs op-by-op on a NaN and raises at the "

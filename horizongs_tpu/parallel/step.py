@@ -57,6 +57,7 @@ from horizongs_tpu.ops.reference import depth_to_normals
 from horizongs_tpu.parallel.tile_exchange import (
     BandLayout,
     band_layout,
+    band_span,
     exchange_halo,
     exchange_records,
 )
@@ -109,6 +110,12 @@ def unshard_state(state: TrainState) -> TrainState:
 
 def _rasterizer_backend(rasterizer: str) -> str:
     return {"tiled": "scan", "dense": "scan"}.get(rasterizer, rasterizer)
+
+
+# SSIM 11x11 window radius: the band-local loss extends each band with
+# this many rows of real neighbor pixels (rendered via ppermute halo
+# exchange; ground truth pre-sliced into band strips outside shard_map)
+HALO = 5
 
 
 def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
@@ -228,7 +235,7 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
             extra_bands = []
 
         # band-local loss: every term is a masked interior sum over THIS
-        # band (extended with a 5-row halo so SSIM windows and the
+        # band (extended with a HALO-row halo so SSIM windows and the
         # depth-normal differences see real neighbor rows), psum-ed into
         # the full-image loss. No device ever assembles the full image
         # and loss FLOPs scale 1/n_model (the previous scheme gathered
@@ -236,7 +243,6 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         # times). The psum-ed loss is replicated-identical across
         # "model" exactly like the gathered one, so the device_fn's
         # 1/n_model gradient rescale is unchanged.
-        HALO = 5                               # SSIM 11x11 window radius
         chans = [render_b, alphas_b] + extra_bands
         sizes = [c.shape[-1] for c in chans]
         patch_all = exchange_halo(jnp.concatenate(chans, axis=-1),
@@ -262,15 +268,12 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         else:
             image_p, depth_p = render_p, None
 
-        # patches of the replicated full-res camera tensors
-        pad_bottom = n_model * band_px + HALO - height
-        def patchify(x):
-            xp = jnp.pad(x, ((HALO, pad_bottom), (0, 0), (0, 0)))
-            return jax.lax.dynamic_slice_in_dim(xp, dy0, Hp, axis=0)
-        gt_p = patchify(cam.image)
-        am_p = patchify(cam.alpha_mask)
-        inv_p = patchify(cam.invdepth)
-        dm_p = patchify(cam.depth_mask)
+        # ground-truth band+halo strips, pre-sliced OUTSIDE shard_map
+        # (`band_camera_strips`): this device only ever receives its own
+        # (Hp, W, C) strip — full-resolution camera tensors are never
+        # replicated across "model" (round-2 VERDICT next-item 1d)
+        gt_p, am_p = cam.image, cam.alpha_mask
+        inv_p, dm_p = cam.invdepth, cam.depth_mask
 
         pkg = {"render": image_p, "render_depth": depth_p,
                "render_alphas": alphas_p}
@@ -313,7 +316,11 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                 "selection_mask": dec.selection_mask,
                 "anchor_mask": dec.anchor_mask,
                 "radii": proj.radii,
-                "n_dropped": n_drop_exch + binfo["n_dropped"],
+                # split accounting: exchange overflow means band_cap is
+                # too small, instance overflow means instance_cap is —
+                # the trainer recalibrates the matching capacity
+                "n_dropped_exchange": n_drop_exch,
+                "n_dropped_instances": binfo["n_dropped"],
                 "local_stats": True}
         return loss, (aux, side)
 
@@ -370,14 +377,22 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         side = {"opacities": opac, "selection_mask": sel,
                 "anchor_mask": gather(dec.anchor_mask),
                 "radii": info["radii"],
-                "n_dropped": info["n_dropped"],
+                "n_dropped_exchange": jnp.zeros((), jnp.int32),
+                "n_dropped_instances": info["n_dropped"],
                 "local_stats": False}
         return loss, (aux, side)
 
     def device_fn(state: TrainState, cams: CameraTensors, iteration):
         # local shapes: per-anchor arrays are (C/n_model, ...) rows;
-        # cams leaves are (1, ...) — this device's camera.
+        # cams leaves are (1, ...) — this device's camera. In the band
+        # path the image leaves are (1, 1, Hp, W, C) band strips (sharded
+        # over "data" AND "model"): squeeze both leading axes.
         cam = jax.tree.map(lambda x: x[0], cams)
+        if shard_tiles:
+            cam = cam._replace(image=cam.image[0],
+                               alpha_mask=cam.alpha_mask[0],
+                               invdepth=cam.invdepth[0],
+                               depth_mask=cam.depth_mask[0])
         m_idx = jax.lax.axis_index("model")
         C_local = state.params.anchor.shape[0]
         n_local = jnp.clip(state.n - m_idx * C_local, 0, C_local)
@@ -461,12 +476,16 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         else:
             new_stats = adds
 
+        pmax2 = lambda x: jax.lax.pmax(jax.lax.pmax(x, "data"), "model")
+        d_exch = pmax2(side["n_dropped_exchange"])
+        d_inst = pmax2(side["n_dropped_instances"])
         metrics = {
             "loss": jax.lax.pmean(loss, "data"),
             "l1": jax.lax.pmean(aux["l1"], "data"),
             "psnr": jax.lax.pmean(aux["psnr"], "data"),
-            "n_dropped": jax.lax.pmax(
-                jax.lax.pmax(side["n_dropped"], "data"), "model"),
+            "n_dropped": d_exch + d_inst,
+            "n_dropped_exchange": d_exch,
+            "n_dropped_instances": d_inst,
         }
         new_state = TrainState(params=new_params, rotation=state.rotation,
                                level=state.level,
@@ -474,12 +493,110 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                                opt=new_opt, stats=new_stats)
         return new_state, metrics
 
+    def _strip_leaf(x):
+        """(n_data, H, W, C) full images -> (n_data, n_model, Hp, W, C)
+        overlapping band+halo strips; rows outside the image are zero
+        (the same padding the full-image SSIM window sees at the image
+        border)."""
+        Hp = layout.band_px + 2 * HALO
+        pad_bottom = n_model * layout.band_px + HALO - height
+        xp = jnp.pad(x, ((0, 0), (HALO, pad_bottom), (0, 0), (0, 0)))
+        starts = jnp.arange(n_model) * layout.band_px
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(xp, s, Hp, axis=1),
+            out_axes=1)(starts)
+
     def step(state: TrainState, cams: CameraTensors, iteration):
         specs = state_specs(state)
         cam_specs = jax.tree.map(lambda _: P("data"), cams)
+        if shard_tiles:
+            # slice the ground-truth tensors into band+halo strips here,
+            # OUTSIDE shard_map, and shard them over ("data", "model"):
+            # each device receives only its own band's rows instead of a
+            # model-replicated full-resolution image
+            cams = cams._replace(image=_strip_leaf(cams.image),
+                                 alpha_mask=_strip_leaf(cams.alpha_mask),
+                                 invdepth=_strip_leaf(cams.invdepth),
+                                 depth_mask=_strip_leaf(cams.depth_mask))
+            strip_spec = P("data", "model")
+            cam_specs = cam_specs._replace(
+                image=strip_spec, alpha_mask=strip_spec,
+                invdepth=strip_spec, depth_mask=strip_spec)
         fn = shard_map(device_fn, mesh=mesh,
                        in_specs=(specs, cam_specs, P()),
                        out_specs=(specs, P()), check_vma=False)
         return fn(state, cams, jnp.asarray(iteration, dtype=jnp.float32))
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# band_cap calibration: measure the routing the band step will actually do
+# ---------------------------------------------------------------------------
+
+_BAND_COUNTERS = {}
+
+
+def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
+                       n_model: int, backend: str = "scan",
+                       add_prefilter: bool = True) -> jnp.ndarray:
+    """Max records any single (src anchor shard -> dst band) pair carries
+    for this view — the quantity `band_cap` must cover. Runs the same
+    decode -> pack -> band-span path as `band_loss_fn` on the full
+    (host-replicated) table, partitions the rows into the n_model
+    contiguous shard slices the mesh will use (decode rows are
+    anchor-major, so shard m's records are rows [m*K/n, (m+1)*K/n)), and
+    counts per (src, dst). Feed the max over sample views to
+    `tile_exchange.suggest_band_cap` — the exact analog of
+    `render.count_render_instances` + `suggest_instance_cap` for the
+    exchange capacity. Jits internally per (cfg, resolution, n_model)."""
+    import functools
+
+    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter)
+    if key not in _BAND_COUNTERS:
+        width, height = cam.width, cam.height
+        tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
+        layout = band_layout(height, width, n_model, tile_h)
+        sh_deg = cfg.max_sh_degree if cfg.color_attr != "RGB" else None
+
+        @functools.partial(jax.jit, static_argnames=("uid",))
+        def counter(viewmat, K, cam_center, res_scale, uid, mlps, state):
+            camera = Camera(viewmat=viewmat, K=K, width=width,
+                            height=height, cam_center=cam_center,
+                            uid=uid, resolution_scale=res_scale)
+            amask, smooth = anchor_lod_mask(cfg, state, cam_center,
+                                            res_scale)
+            if add_prefilter:
+                amask = prefilter_anchors(cfg, state, camera, amask)
+            dec = decode_neural_gaussians(cfg, mlps, state, cam_center,
+                                          amask, smooth,
+                                          appearance_id=jnp.asarray(uid))
+            if cfg.color_attr != "RGB":
+                colors = dec.colors.reshape(-1, cfg.color_dim // 3, 3)
+            else:
+                colors = dec.colors
+            if cfg.gs_attr == "2D":
+                fields, bin_radii, _depths, _ = pack_fields_2dgs(
+                    dec.means, dec.quats, dec.scales, dec.opacities,
+                    colors, viewmat, K, width, height, sh_degree=sh_deg)
+                my, ry = fields[:, 10], bin_radii
+            else:
+                fields, bin_radii, proj = pack_fields_3dgs(
+                    dec.means, dec.quats, dec.scales, dec.opacities,
+                    colors, viewmat, K, width, height, sh_degree=sh_deg)
+                _, e_ry, _ = ellipse_extents(proj.conics, dec.opacities)
+                my = fields[:, 1]
+                ry = jnp.where(bin_radii > 0, e_ry, 0.0)
+            valid = bin_radii > 0
+            b0, b1 = band_span(my, ry, layout)
+            dests = jnp.arange(n_model, dtype=jnp.int32)[:, None]
+            touch = (valid[None, :] & (b0[None, :] <= dests)
+                     & (dests <= b1[None, :]))           # (dst, K)
+            K_rows = touch.shape[1]
+            per = touch.reshape(n_model, n_model, K_rows // n_model)
+            return jnp.max(jnp.sum(per, axis=-1))
+
+        _BAND_COUNTERS[key] = counter
+    return _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
+                               cam.resolution_scale, int(cam.uid),
+                               mlps, state)

