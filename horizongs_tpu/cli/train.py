@@ -63,6 +63,12 @@ def main(argv=None):
                         "slow — debugging only)")
     args = parser.parse_args(argv)
 
+    # multi-host bring-up FIRST: jax.distributed.initialize() hard-fails
+    # after anything touches the XLA backend
+    if args.mesh:
+        from horizongs_tpu.parallel.mesh import maybe_init_distributed
+        maybe_init_distributed()
+
     if args.detect_anomaly:
         import jax
         jax.config.update("jax_debug_nans", True)
@@ -114,9 +120,7 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        from horizongs_tpu.parallel.mesh import (
-            maybe_init_distributed, parse_mesh_spec)
-        maybe_init_distributed(logger)
+        from horizongs_tpu.parallel.mesh import parse_mesh_spec
         mesh = parse_mesh_spec(args.mesh)
         if mesh is not None:
             logger.info(f"training mesh: data={mesh.shape['data']} x "

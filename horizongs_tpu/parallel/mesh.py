@@ -58,27 +58,53 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
                      devices=jax.devices()[:data * model])
 
 
+# Environment markers of a multi-process launch that
+# `jax.distributed.initialize()` can auto-detect with no arguments
+# (cloud TPU pod slices, Slurm, Open MPI). Checked WITHOUT touching the
+# JAX backend — initialize() must run before anything else does.
+_POD_ENV_MARKERS = ("TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+                    "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+                    "OMPI_COMM_WORLD_SIZE")
+
+
 def maybe_init_distributed(logger=None) -> int:
-    """Multi-host bring-up: call `jax.distributed.initialize()` when the
-    standard coordinator env is present (JAX_COORDINATOR_ADDRESS [+
-    JAX_NUM_PROCESSES/JAX_PROCESS_ID], or a TPU pod environment the JAX
-    runtime can auto-detect via `initialize()` with no args). Returns the
-    process index (0 when single-process). Safe to call twice.
+    """Multi-host bring-up. Call FIRST, before any JAX API that touches
+    the backend (`jax.devices`, any computation): `initialize()` hard-
+    fails afterwards. Attempts `jax.distributed.initialize()` when either
+
+      * the explicit coordinator env is present — JAX_COORDINATOR_ADDRESS
+        [+ JAX_NUM_PROCESSES, JAX_PROCESS_ID], passed through as explicit
+        arguments (no-arg initialize() does NOT read these); or
+      * a TPU-pod / Slurm / Open MPI launch is detectable from its
+        standard env markers, in which case no-arg auto-detection runs —
+        the standard TPU pod case, where none of the JAX_* vars exist.
+
+    Returns the process index (0 when single-process / not launched
+    distributed). Safe to call twice (the second call logs and moves on).
+    Exercised for real by tests/test_multiprocess.py (2 processes x 4
+    CPU devices over a localhost coordinator).
 
     The reference has no multi-host story at all (SURVEY.md §2.3); its
     closest analog is launching one training job per chunk by hand."""
-    log = logger.info if logger else print
-    if jax.process_count() > 1:
-        return jax.process_index()
-    addr = None
     import os
+    log = logger.info if logger else print
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        try:
+    pod = any(m in os.environ for m in _POD_ENV_MARKERS)
+    if not addr and not pod:
+        return jax.process_index()
+    try:
+        if addr:
+            nproc = os.environ.get("JAX_NUM_PROCESSES")
+            pid = os.environ.get("JAX_PROCESS_ID")
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc) if nproc else None,
+                process_id=int(pid) if pid else None)
+        else:
             jax.distributed.initialize()
-            log(f"jax.distributed initialized: process "
-                f"{jax.process_index()}/{jax.process_count()}, "
-                f"{len(jax.devices())} global devices")
-        except Exception as e:   # already initialized / single process
-            log(f"jax.distributed.initialize skipped: {e}")
+        log(f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.devices())} global devices")
+    except RuntimeError as e:  # already initialized / backend started
+        log(f"jax.distributed.initialize skipped: {e}")
     return jax.process_index()
