@@ -419,8 +419,14 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         # psum_scatter. In the band path the probe sits BEFORE the image
         # gather, so its gradient carries the same factor; in the
         # replicated path it enters after the gather and is already 1x.
+        # weighted DP mean: a view that appears k times in the batch
+        # carries loss_weight 1/k (trainer `_pick_batch` on datasets too
+        # small to fill the batch), so duplicates don't weigh k x in the
+        # mean gradient. All-ones weights reduce to the plain pmean.
+        w = cam.loss_weight
+        wscale = w * n_data / jax.lax.psum(w, "data")
         pgrads = jax.tree.map(
-            lambda g: jax.lax.pmean(g, "data") / n_model, pgrads)
+            lambda g: jax.lax.pmean(g * wscale, "data") / n_model, pgrads)
         reduce_model = lambda t: jax.tree.map(
             lambda g: jax.lax.psum(g, "model"), t)
         pgrads = pgrads._replace(
@@ -480,7 +486,7 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         d_exch = pmax2(side["n_dropped_exchange"])
         d_inst = pmax2(side["n_dropped_instances"])
         metrics = {
-            "loss": jax.lax.pmean(loss, "data"),
+            "loss": jax.lax.pmean(loss * wscale, "data"),
             "l1": jax.lax.pmean(aux["l1"], "data"),
             "psnr": jax.lax.pmean(aux["psnr"], "data"),
             "n_dropped": d_exch + d_inst,

@@ -86,10 +86,15 @@ class CameraTensors(NamedTuple):
     has_depth: jnp.ndarray     # () float32 0/1
     do_stats: jnp.ndarray      # () float32 0/1: accumulate densify stats
     resolution_scale: jnp.ndarray  # () float32
+    loss_weight: jnp.ndarray   # () float32 relative weight in the DP mean
+    #   (1.0 normally; 1/k when a view appears k times in a data-parallel
+    #   batch because the dataset couldn't fill it — keeps duplicated
+    #   views from weighing k x in the mean gradient)
 
 
 def camera_tensors(cam, do_stats: bool = False,
-                   height: int = None, width: int = None) -> CameraTensors:
+                   height: int = None, width: int = None,
+                   loss_weight: float = 1.0) -> CameraTensors:
     H = height or cam.height
     W = width or cam.width
     zero_img = jnp.zeros((H, W, 1), dtype=jnp.float32)
@@ -104,6 +109,7 @@ def camera_tensors(cam, do_stats: bool = False,
         has_depth=jnp.asarray(1.0 if cam.invdepth is not None else 0.0),
         do_stats=jnp.asarray(1.0 if do_stats else 0.0),
         resolution_scale=jnp.asarray(cam.resolution_scale, dtype=jnp.float32),
+        loss_weight=jnp.asarray(loss_weight, dtype=jnp.float32),
     )
 
 

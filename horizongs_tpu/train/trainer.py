@@ -250,12 +250,13 @@ class Trainer:
         return stack.pop(self.rng.randint(0, len(stack) - 1))
 
     def _pick_batch(self, stacks, n: int):
-        """n same-resolution cameras for one data-parallel step. Sampling
-        rules (aerial/street proportion) are per camera; cameras of
-        other resolutions drawn along the way go back to their stacks.
-        If the dataset can't fill the batch at this resolution, existing
-        picks repeat (duplicated views weigh 2x in the mean gradient —
-        logged once)."""
+        """n same-resolution cameras for one data-parallel step, with a
+        per-camera loss weight. Sampling rules (aerial/street proportion)
+        are per camera; cameras of other resolutions drawn along the way
+        go back to their stacks. If the dataset can't fill the batch at
+        this resolution, existing picks repeat with weight 1/k so a view
+        duplicated k times still weighs once in the mean gradient
+        (logged once)."""
         cams = [self._pick_camera(stacks)]
         H, W = cams[0].height, cams[0].width
         putback, tries = [], 0
@@ -269,13 +270,19 @@ class Trainer:
         for c in putback:
             key = (c.image_type if self.pp.camera_balance else "all")
             stacks[key].append(c)
+        weights = [1.0] * n
         if len(cams) < n:
             if not getattr(self, "_warned_batch_fill", False):
                 self.log(f"only {len(cams)} cameras at {W}x{H} — "
-                         f"repeating views to fill the {n}-camera batch")
+                         f"repeating views (downweighted 1/k) to fill "
+                         f"the {n}-camera batch")
                 self._warned_batch_fill = True
-            cams = [cams[i % len(cams)] for i in range(n)]
-        return cams
+            k = len(cams)
+            cams = [cams[i % k] for i in range(n)]
+            counts = [sum(1 for j in range(n) if j % k == i % k)
+                      for i in range(n)]
+            weights = [1.0 / c for c in counts]
+        return cams, weights
 
     def _dump_vis(self, cam, it: int) -> None:
         """Side-by-side gt | render (| depth | normals) grid."""
@@ -436,9 +443,10 @@ class Trainer:
                 ct = camera_tensors(cam, do_stats=do_stats)
                 n_stat_views = int(do_stats)
             else:
-                cams = self._pick_batch(stacks, self.mesh.shape["data"])
+                cams, wts = self._pick_batch(stacks, self.mesh.shape["data"])
                 cam = cams[0]
-                cts = [camera_tensors(c, do_stats=_gate(c)) for c in cams]
+                cts = [camera_tensors(c, do_stats=_gate(c), loss_weight=w)
+                       for c, w in zip(cams, wts)]
                 ct = jax.tree.map(lambda *xs: jnp.stack(xs), *cts)
                 n_stat_views = sum(_gate(c) for c in cams)
             step = self._step_fn(cam.height, cam.width)
