@@ -2,7 +2,9 @@
 
 Prints ONE JSON line:
   {"metric": "rays_per_sec_fwd_bwd_1080p", "value": N, "unit": "rays/s",
-   "vs_baseline": N / 2_073_600}
+   "vs_baseline": N / 2_073_600,
+   "full_step_ms_1080p": M, "full_step_rays_per_sec": R,
+   "full_step_anchors": A}
 
 The baseline unit is one full 1080p frame differentiated per second
 (2 073 600 rays/s), so vs_baseline reads as "differentiable frames per
@@ -10,9 +12,15 @@ second". The reference repo publishes no numbers (BASELINE.md) — the
 gsplat CUDA path cannot run on TPU at all — so this metric tracks our
 own TPU-native kernel across rounds.
 
-Scene: 100k random gaussians (~420k tile instances at 1080p), full
-forward render (RGB+ED) + backward to means/scales/opacities/colors via
-the Pallas kernel pair.
+Headline scene: 100k random gaussians (~420k tile instances at 1080p),
+full forward render (RGB+ED) + backward to means/scales/opacities/colors
+via the Pallas kernel pair.
+
+`full_step_*`: the COMPLETE training step at 1080p on the flagship LOD
+model (~20k-point octree scene: LOD mask -> prefilter -> MLP decode of
+anchors x 10 offsets -> Pallas raster -> loss -> backward -> Adam ->
+densify stats), so decode/loss/optimizer regressions are visible per
+round, not just the rasterizer (round-2 VERDICT weak #5).
 """
 import json
 import time
@@ -89,12 +97,59 @@ def main():
     rays_per_sec = RAYS / dt
     metric = ("rays_per_sec_fwd_bwd_1080p" if on_tpu
               else "rays_per_sec_fwd_bwd_256x144_cpu_fallback")
+    full = full_train_step(on_tpu)
     print(json.dumps({
         "metric": metric,
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 2_073_600, 3),
+        **full,
     }))
+
+
+def full_train_step(on_tpu: bool) -> dict:
+    """Complete train step (decode -> raster -> loss -> backward -> Adam
+    -> stats) at 1080p on the flagship LOD model; small shapes on the
+    CPU fallback."""
+    from __graft_entry__ import _flagship
+    from horizongs_tpu.config import make_optim
+    from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
+    from horizongs_tpu.render import count_render_instances
+    from horizongs_tpu.train.optim import mlps_from_params
+    from horizongs_tpu.train.step import build_train_step, camera_tensors
+
+    if on_tpu:
+        W, H, n_points, rasterizer, iters = 1920, 1088, 20_000, "pallas", 10
+        rays = 1920 * 1080
+    else:
+        W, H, n_points, rasterizer, iters = 256, 144, 500, "tiled", 2
+        rays = W * H
+    cfg, ts, cams = _flagship(capacity=None, width=W, height=H, n_cams=1,
+                              n_points=n_points, voxel_size=0.02,
+                              scale_range=(0.01, 0.04))
+    cam = cams[0]._replace(image=jnp.zeros((H, W, 3)),
+                           alpha_mask=jnp.ones((H, W, 1)))
+    opt = make_optim(start_stat=0)
+    n_inst = int(count_render_instances(
+        cam, cfg, mlps_from_params(ts.params), ts.anchor_state(),
+        add_prefilter=True))
+    cap = suggest_instance_cap(n_inst, margin=1.25)
+    step = build_train_step(cfg, opt, H, W, add_prefilter=True,
+                            rasterizer=rasterizer, instance_cap=cap)
+    ct = camera_tensors(cam, do_stats=True)
+    m = None
+    for i in range(2):
+        ts, m = step(ts, ct, i + 1)
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    for i in range(iters):
+        ts, m = step(ts, ct, i + 10)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / iters
+    key = "full_step_ms_1080p" if on_tpu else "full_step_ms_cpu_fallback"
+    return {key: round(dt * 1e3, 2),
+            "full_step_rays_per_sec": round(rays / dt),
+            "full_step_anchors": int(jax.device_get(ts.n))}
 
 
 if __name__ == "__main__":

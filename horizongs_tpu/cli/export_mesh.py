@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--resolution", type=int, default=128,
                         help="TSDF grid resolution along the largest axis")
     parser.add_argument("--use_median_depth", action="store_true")
+    parser.add_argument("--unbounded", action="store_true",
+                        help="contracted-space TSDF for unbounded scenes "
+                        "(the reference's experimental "
+                        "extract_mesh_unbounded, utils/mesh_utils.py:179 "
+                        "— shipped truncated upstream; ours is complete)")
     parser.add_argument("--rasterizer", default="auto")
     args = parser.parse_args(argv)
 
@@ -73,18 +78,27 @@ def main(argv=None):
                        else [np.asarray(c.cam_center) for c in cams])
     center, radius = estimate_bounding_sphere(centers)
     depth_trunc = args.depth_trunc or (radius * 2.0)
-    voxel_size = args.voxel_size or (depth_trunc / args.resolution)
-    sdf_trunc = args.sdf_trunc or (5.0 * voxel_size)
 
-    half = depth_trunc / 2.0
-    origin = center - half
-    dims = (int(2 * half / voxel_size),) * 3
-    logger.info(f"TSDF: center={center}, voxel={voxel_size:.4f}, "
-                f"dims={dims}, trunc={sdf_trunc:.4f}")
-    tsdf, weight = fuse_tsdf(depths, alphas, viewmats, Ks, origin,
-                             voxel_size, dims, sdf_trunc, depth_trunc)
-    verts, faces = marching_tetrahedra(tsdf, weight, origin, voxel_size)
-    logger.info(f"raw mesh: {verts.shape[0]} verts, {faces.shape[0]} faces")
+    if args.unbounded:
+        from horizongs_tpu.utils.meshing import extract_mesh_unbounded
+        logger.info(f"unbounded TSDF: center={center}, radius={radius:.3f}"
+                    f", contracted grid {args.resolution}^3")
+        verts, faces = extract_mesh_unbounded(
+            depths, alphas, viewmats, Ks, centers,
+            resolution=args.resolution, depth_trunc=args.depth_trunc or 1e9)
+    else:
+        voxel_size = args.voxel_size or (depth_trunc / args.resolution)
+        sdf_trunc = args.sdf_trunc or (5.0 * voxel_size)
+        half = depth_trunc / 2.0
+        origin = center - half
+        dims = (int(2 * half / voxel_size),) * 3
+        logger.info(f"TSDF: center={center}, voxel={voxel_size:.4f}, "
+                    f"dims={dims}, trunc={sdf_trunc:.4f}")
+        tsdf, weight = fuse_tsdf(depths, alphas, viewmats, Ks, origin,
+                                 voxel_size, dims, sdf_trunc, depth_trunc)
+        verts, faces = marching_tetrahedra(tsdf, weight, origin, voxel_size)
+        logger.info(f"raw mesh: {verts.shape[0]} verts, "
+                    f"{faces.shape[0]} faces")
     verts, faces = largest_component(verts, faces)
     out = os.path.join(args.model_path,
                        f"mesh_iteration_{scene.loaded_iter}.ply")

@@ -68,35 +68,43 @@ def suggest_instance_cap(n_instances: int, margin: float = 1.25) -> int:
 
 def count_instances_3dgs(means, quats, scales, opacities, viewmat, K,
                          width: int, height: int,
-                         eps2d: float = 0.3) -> jnp.ndarray:
+                         eps2d: float = 0.3,
+                         tile_w: int = TILE_W,
+                         tile_h: int = TILE_H) -> jnp.ndarray:
     """Instance count the 3DGS wrapper below will enumerate for this
     view (projection + lossless opacity cull + AABB tile spans). Cheap
     and jittable; feed the max over sample views to
-    `suggest_instance_cap`."""
-    grid = _make_grid(width, height, TILE_W, TILE_H)
+    `suggest_instance_cap`. Pass the BACKEND's tile shape — the scan
+    backend's 16x16 tiles enumerate ~4x the instances of the 32x32
+    Pallas tiles (`raster_fields.backend_tile_shape`)."""
+    grid = _make_grid(width, height, tile_w, tile_h)
     proj = project_3dgs(means, quats, scales, viewmat, K, width, height,
                         eps2d=eps2d)
     radii = jnp.where(opacities >= 1.0 / 255.0,
                       cull_radius(proj.radii, opacities), 0.0)
     return count_tile_instances(proj.means2d, radii, grid.n_tiles_x,
-                                grid.n_tiles_y, TILE_W, TILE_H,
+                                grid.n_tiles_y, tile_w, tile_h,
                                 conics=proj.conics, opacities=opacities)
 
 
 def count_instances_2dgs(means, quats, scales, opacities, viewmat, K,
-                         width: int, height: int) -> jnp.ndarray:
+                         width: int, height: int,
+                         tile_w: Optional[int] = None,
+                         tile_h: Optional[int] = None) -> jnp.ndarray:
     """2DGS analog of `count_instances_3dgs` (matches the 2D wrapper's
     cull radius incl. its low-pass guard)."""
     from horizongs_tpu.ops.pallas.raster2d import (
         TILE_H as TILE_H2, TILE_W as TILE_W2)
     from horizongs_tpu.ops.projection import project_2dgs
-    grid = _make_grid(width, height, TILE_W2, TILE_H2)
+    tile_w = TILE_W2 if tile_w is None else tile_w
+    tile_h = TILE_H2 if tile_h is None else tile_h
+    grid = _make_grid(width, height, tile_w, tile_h)
     proj = project_2dgs(means, quats, scales, viewmat, K, width, height)
     radii = jnp.where(opacities >= 1.0 / 255.0,
                       cull_radius(proj.radii, opacities, guard_px=2.2),
                       0.0)
     return count_tile_instances(proj.means2d, radii, grid.n_tiles_x,
-                                grid.n_tiles_y, TILE_W2, TILE_H2)
+                                grid.n_tiles_y, tile_w, tile_h)
 
 
 def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,

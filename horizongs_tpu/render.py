@@ -185,7 +185,8 @@ def count_render_instances(cam: Camera,
                            cfg: ModelConfig,
                            mlps: MlpParams,
                            state: AnchorState,
-                           add_prefilter: bool = True) -> jnp.ndarray:
+                           add_prefilter: bool = True,
+                           backend: str = "pallas") -> jnp.ndarray:
     """Tile-instance count the pallas/tiled backends will enumerate for
     this view with the current model state: LOD mask -> decode ->
     projection + lossless cull + AABB spans. Take the max over a few
@@ -196,11 +197,13 @@ def count_render_instances(cam: Camera,
     fields, so only their array leaves cross the jit boundary."""
     import functools
 
-    key = (cfg, cam.width, cam.height, add_prefilter)
+    key = (cfg, cam.width, cam.height, add_prefilter, backend)
     if key not in _COUNTERS:
+        from horizongs_tpu.ops.raster_fields import backend_tile_shape
         from horizongs_tpu.ops.raster_pallas import (
             count_instances_2dgs, count_instances_3dgs)
         width, height = cam.width, cam.height
+        tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
 
         @functools.partial(jax.jit, static_argnames=("uid",))
         def counter(viewmat, K, cam_center, res_scale, uid, mlps, state):
@@ -218,7 +221,8 @@ def count_render_instances(cam: Camera,
             count = (count_instances_2dgs if cfg.gs_attr == "2D"
                      else count_instances_3dgs)
             return count(dec.means, dec.quats, dec.scales, dec.opacities,
-                         viewmat, K, width, height)
+                         viewmat, K, width, height,
+                         tile_w=tile_w, tile_h=tile_h)
 
         _COUNTERS[key] = counter
     return _COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,

@@ -147,9 +147,14 @@ class Trainer:
         st = self._host_state()
         mlps = mlps_from_params(st.params)
         astate = st.anchor_state()
+        # count with the backend's OWN tile shape (scan tiles are 16x16,
+        # Pallas 32x32 — a pallas-tile count under-sizes the scan cap 4x)
+        backend = ("pallas" if self.rasterizer in
+                   ("pallas", "pallas_interpret") else "scan")
         n = max(int(count_render_instances(
                 c, self.cfg, mlps, astate,
-                add_prefilter=self.add_prefilter)) for c in cams)
+                add_prefilter=self.add_prefilter,
+                backend=backend)) for c in cams)
         return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
     def _calibrate_band_cap(self, H, W, samples: int = 6):

@@ -73,6 +73,33 @@ def main():
     record("2DGS render", float(jnp.abs(r2_p[0] - r2_d[0]).max()), 1e-3)
     record("2DGS normal", float(jnp.abs(r2_p[2] - r2_d[2]).max()), 1e-3)
 
+    # 2DGS backward on hardware (round-2 VERDICT missing #5): gradients
+    # through the render AND the normals/distortion auxiliary outputs —
+    # the exact paths the 2DGS training losses differentiate — for every
+    # input incl. quats (the surfel orientation that drives normals).
+    def loss2(render_fn):
+        def f(m, q, s, o, c):
+            out = render_fn(m, q, s, o, c, cam.viewmat, cam.K, 128, 128,
+                            bg)
+            render, _, normals, _, distort = out[0], out[1], out[2], \
+                out[3], out[4]
+            return (jnp.mean((render - 0.5) ** 2)
+                    + 0.1 * jnp.mean(normals ** 2)
+                    + 0.01 * jnp.mean(distort))
+        return f
+
+    la2 = (g["means"], g["quats"], g["scales"], g["opacities"],
+           g["colors"])
+    gd2 = jax.jit(jax.grad(loss2(render_dense_2dgs),
+                           argnums=(0, 1, 2, 3, 4)))(*la2)
+    gp2 = jax.jit(jax.grad(loss2(rasterize_pallas_2dgs),
+                           argnums=(0, 1, 2, 3, 4)))(*la2)
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"],
+                          gd2, gp2):
+        scale = float(jnp.abs(a).max()) or 1.0
+        record(f"2DGS grad {name:7s} (rel)",
+               float(jnp.abs(b - a).max()) / scale, 1e-3)
+
     if failures:
         print("FAIL: " + "; ".join(failures))
         return 1 if opts.check else 0
