@@ -55,6 +55,11 @@ def main(argv=None):
                         "exchange (default: auto-calibrated from sample "
                         "views; overflow is counted + recalibrated, "
                         "never silent)")
+    parser.add_argument("--checkpoint_format", default="npz",
+                        choices=["npz", "sharded"],
+                        help="npz: host-gathered single file (portable). "
+                        "sharded: orbax directory, every device writes "
+                        "its own shards — use at city scale / multi-host")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="enable jax_debug_nans: every jitted step "
                         "re-runs op-by-op on a NaN and raises at the "
@@ -135,23 +140,34 @@ def main(argv=None):
                       tb_writer=tb_writer,
                       profile_steps=(20, args.profile) if args.profile
                       else None,
-                      mesh=mesh, band_cap=args.band_cap)
+                      mesh=mesh, band_cap=args.band_cap,
+                      checkpoint_format=args.checkpoint_format)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])
     save_iters.add(iterations)
     first_iter = 1
     if args.start_checkpoint:
-        from horizongs_tpu.io.checkpoints import load_train_checkpoint
-        host, ckpt_it = load_train_checkpoint(
-            args.start_checkpoint, trainer._host_state())
-        if mesh is not None:
-            n_model = mesh.shape["model"]
-            C = int(host.params.anchor.shape[0])
-            if C % n_model:
-                from horizongs_tpu.train.densify import pad_state_capacity
-                host = pad_state_capacity(host, -(-C // n_model) * n_model)
-        trainer.state = trainer._place_state(host)
+        if os.path.isdir(args.start_checkpoint):
+            # orbax sharded checkpoint dir: restore straight into the
+            # current (possibly sharded) placement — no host gather
+            from horizongs_tpu.io.checkpoints import (
+                load_sharded_checkpoint)
+            trainer.state, ckpt_it = load_sharded_checkpoint(
+                args.start_checkpoint, trainer.state)
+        else:
+            from horizongs_tpu.io.checkpoints import load_train_checkpoint
+            host, ckpt_it = load_train_checkpoint(
+                args.start_checkpoint, trainer._host_state())
+            if mesh is not None:
+                n_model = mesh.shape["model"]
+                C = int(host.params.anchor.shape[0])
+                if C % n_model:
+                    from horizongs_tpu.train.densify import (
+                        pad_state_capacity)
+                    host = pad_state_capacity(host,
+                                              -(-C // n_model) * n_model)
+            trainer.state = trainer._place_state(host)
         first_iter = ckpt_it + 1
         logger.info(f"Resumed from {args.start_checkpoint} "
                     f"at iteration {ckpt_it}")

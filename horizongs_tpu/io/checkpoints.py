@@ -244,6 +244,38 @@ def load_train_checkpoint(path: str, template):
     return state, int(z["__iteration__"])
 
 
+def save_sharded_checkpoint(path: str, state, iteration: int) -> None:
+    """Sharded pytree checkpoint (orbax/OCDBT): every device writes its
+    own parameter shards directly — no host gather, no single 1-GB npz.
+    This is the SURVEY §5 "orbax-style sharded pytree checkpoints" item:
+    at city scale (10^6+ anchors) the npz path first pulls the entire
+    state through host memory, which costs ~a minute per save over a
+    remote-accelerator transport; the sharded writer is bounded by
+    per-device shard size and works multi-host. `path` is a directory."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {"state": state, "iteration": np.asarray(iteration)}
+    ckptr.save(path, args=ocp.args.PyTreeSave(payload), force=True)
+    ckptr.close()
+
+
+def load_sharded_checkpoint(path: str, template):
+    """Restore a sharded checkpoint into the template's structure AND
+    placement: leaves come back with the template's sharding (so a mesh
+    run resumes sharded without ever materializing the full table on one
+    host). Returns (state, iteration)."""
+    import orbax.checkpoint as ocp
+    payload_t = {"state": template, "iteration": np.asarray(0)}
+    restore_args = ocp.checkpoint_utils.construct_restore_args(payload_t)
+    ckptr = ocp.PyTreeCheckpointer()
+    out = ckptr.restore(os.path.abspath(path),
+                        args=ocp.args.PyTreeRestore(
+                            item=payload_t, restore_args=restore_args))
+    ckptr.close()
+    return out["state"], int(np.asarray(out["iteration"]))
+
+
 def search_max_iteration(point_cloud_dir: str) -> int:
     """`searchForMaxIteration` (`utils/system_utils.py:26-28`)."""
     best = -1

@@ -62,8 +62,9 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
 # `jax.distributed.initialize()` can auto-detect with no arguments
 # (cloud TPU pod slices, Slurm, Open MPI). Checked WITHOUT touching the
 # JAX backend — initialize() must run before anything else does.
-_POD_ENV_MARKERS = ("TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
-                    "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+# (TPU_WORKER_HOSTNAMES is handled separately: single-worker TPU VMs
+# export it too, so it only counts when it lists >1 host.)
+_POD_ENV_MARKERS = ("MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
                     "OMPI_COMM_WORLD_SIZE")
 
 
@@ -90,6 +91,10 @@ def maybe_init_distributed(logger=None) -> int:
     log = logger.info if logger else print
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     pod = any(m in os.environ for m in _POD_ENV_MARKERS)
+    # single-worker TPU VMs also export TPU_WORKER_HOSTNAMES — only a
+    # multi-host list warrants the auto-detected bring-up
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    pod = pod or len([h for h in hosts.split(",") if h]) > 1
     if not addr and not pod:
         return jax.process_index()
     try:
@@ -105,6 +110,8 @@ def maybe_init_distributed(logger=None) -> int:
         log(f"jax.distributed initialized: process "
             f"{jax.process_index()}/{jax.process_count()}, "
             f"{len(jax.devices())} global devices")
-    except RuntimeError as e:  # already initialized / backend started
+    except (RuntimeError, ValueError) as e:
+        # already initialized / backend started / auto-detection could
+        # not produce a coordinator (e.g. misleading env markers)
         log(f"jax.distributed.initialize skipped: {e}")
     return jax.process_index()

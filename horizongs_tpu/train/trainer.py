@@ -47,7 +47,8 @@ class Trainer:
                  wandb_run=None, viewer_port: Optional[int] = None,
                  tb_writer=None,
                  profile_steps: Optional[tuple] = None,
-                 mesh=None, band_cap: Optional[int] = None):
+                 mesh=None, band_cap: Optional[int] = None,
+                 checkpoint_format: str = "npz"):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -66,6 +67,11 @@ class Trainer:
         # driver `train.py:83-285` at N devices)
         self.mesh = mesh
         self.band_cap = band_cap
+        # "npz": host-gathered single-file capture (portable, resumable
+        # on any topology). "sharded": orbax directory — every device
+        # writes its own shards, no host gather; the city-scale format
+        # (SURVEY §5 sharded pytree checkpoints).
+        self.checkpoint_format = checkpoint_format
         if mesh is not None:
             from horizongs_tpu.parallel.step import shard_state
             n_model = mesh.shape["model"]
@@ -525,7 +531,12 @@ class Trainer:
                         and densify_cnt // op.update_interval
                         > densify_epochs):
                     densify_epochs = densify_cnt // op.update_interval
-                    st = self._host_state()
+                    # run_densify works directly on the (sharded) device
+                    # state: only decision arrays and candidate rows
+                    # cross the host boundary; the big tables repack on
+                    # device (no _host_state gather — at city scale the
+                    # full round-trip cost minutes per epoch)
+                    st = self.state
                     if self.scene.base is not None:
                         st = roll_back(st, self.scene.base, cfg)
                     st = run_densify(
@@ -555,8 +566,17 @@ class Trainer:
                 self.scene.save(it, self._host_state())
             if it in checkpoint_iterations:
                 self.log(f"[ITER {it}] Saving Checkpoint")
-                save_train_checkpoint(
-                    os.path.join(self.scene.model_path, f"chkpnt{it}.npz"),
-                    self._host_state(), it)
+                if self.checkpoint_format == "sharded":
+                    from horizongs_tpu.io.checkpoints import (
+                        save_sharded_checkpoint)
+                    save_sharded_checkpoint(
+                        os.path.join(self.scene.model_path,
+                                     f"chkpnt{it}_sharded"),
+                        self.state, it)
+                else:
+                    save_train_checkpoint(
+                        os.path.join(self.scene.model_path,
+                                     f"chkpnt{it}.npz"),
+                        self._host_state(), it)
 
         return history

