@@ -94,18 +94,36 @@ def state_specs(state: TrainState):
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
-    """Place a TrainState on the mesh with anchor rows sharded."""
+    """Place a TrainState on the mesh with anchor rows sharded. On a
+    multi-process mesh, leaves are lowered to host numpy first —
+    device_put of a committed single-device array onto a non-addressable
+    sharding is not allowed, but a (replicated) host value is: each
+    process materializes exactly its addressable shards."""
+    import numpy as np
     specs = state_specs(state)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        state, specs)
+    multiproc = jax.process_count() > 1
+
+    def put(x, s):
+        if multiproc and not isinstance(x, np.ndarray):
+            x = np.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, state, specs)
 
 
 def unshard_state(state: TrainState) -> TrainState:
     """Gather a (possibly sharded) TrainState to host-replicated arrays —
-    the inverse of `shard_state`, used by the densify round-trip and by
-    checkpoint saving."""
-    return jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), state)
+    the inverse of `shard_state`, used for checkpoint saving, eval
+    rendering and vis. Multi-process safe: non-addressable (multi-host)
+    leaves gather via process_allgather so every process holds the full
+    value."""
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return jnp.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return jnp.asarray(jax.device_get(x))
+    return jax.tree.map(pull, state)
 
 
 def _rasterizer_backend(rasterizer: str) -> str:

@@ -37,6 +37,13 @@ from horizongs_tpu.train.step import DensifyStats, TrainState, init_stats
 
 
 def _np(x):
+    """Device array -> host numpy; multi-process safe: a globally-sharded
+    array (multi-host mesh) is gathered with process_allgather so every
+    process sees the identical full value (required — the densify
+    decision logic must be SPMD-deterministic across hosts)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
 
 

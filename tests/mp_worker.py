@@ -117,8 +117,31 @@ def run_steps(mesh, steps: int):
             "checks": {k: scalar(v) for k, v in sums.items()}}
 
 
+def run_trainer_cli(dataset: str, model_path: str, steps: int) -> dict:
+    """Drive the FULL train CLI (Scene build -> band-sharded trainer on
+    the global 4x2 mesh -> densify epochs -> sharded orbax checkpoint ->
+    eval) in this process of the multi-process run. Every process runs
+    the identical deterministic driver; orbax coordinates the shared
+    checkpoint directory; results land in the shared model_path."""
+    import json as _json
+
+    from horizongs_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--config", os.path.join(dataset, "mp_config.yaml"),
+        "--model_path", model_path, "--rasterizer", "tiled",
+        "--mesh", "4x2", "--iterations", str(steps),
+        "--checkpoint_iterations", str(steps),
+        "--checkpoint_format", "sharded", "--disable_tb"])
+    with open(os.path.join(model_path, f"results_test.json")) as f:
+        results = _json.load(f)
+    return {"rc": rc, "results": results}
+
+
 def main():
     pid, nproc, port, out_path, local_devices, steps = sys.argv[1:7]
+    mode = sys.argv[7] if len(sys.argv) > 7 else "step"
+    dataset = sys.argv[8] if len(sys.argv) > 8 else ""
+    model_path = sys.argv[9] if len(sys.argv) > 9 else ""
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
@@ -128,6 +151,16 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+
+    if mode == "trainer":
+        # the CLI performs the distributed bring-up itself (--mesh)
+        out = run_trainer_cli(dataset, model_path, int(steps))
+        out["process_id"] = int(pid)
+        out["process_count"] = jax.process_count()
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+        print(f"proc {pid}: trainer done rc={out['rc']}", flush=True)
+        return
 
     from horizongs_tpu.parallel.mesh import maybe_init_distributed
     maybe_init_distributed()
