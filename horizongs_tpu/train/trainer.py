@@ -161,6 +161,11 @@ class Trainer:
                 c, self.cfg, mlps, astate,
                 add_prefilter=self.add_prefilter,
                 backend=backend)) for c in cams)
+        if self.mesh is not None and self.mesh.shape["model"] > 1:
+            # band-sharded step: each device bins only its own band —
+            # ~1/n_model of the full-image instances (margin + counted
+            # overflow recalibration absorb band imbalance)
+            n = -(-n // self.mesh.shape["model"])
         return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
     def _calibrate_band_cap(self, H, W, samples: int = 6):
