@@ -93,6 +93,13 @@ def exchange_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
     """Route + all_to_all. Inside shard_map over `axis_name` only.
     Returns (recv (n_model*send_cap, R), n_dropped ()) — recv rows are
     the records every shard routed to THIS device's band."""
+    if layout.n_model == 1 and send_cap >= records.shape[0]:
+        # degenerate single-band mesh: every record already belongs to
+        # this device — skip the routing sort + gather entirely (the
+        # sort-based compaction is pure overhead here and its gather
+        # transpose turns into a scatter in the backward)
+        keep = valid.astype(records.dtype)[:, None]
+        return records * keep, jnp.zeros((), jnp.int32)
     send, n_dropped = route_records(records, means2d_y, ry, valid,
                                     layout, send_cap)
     if layout.n_model == 1:

@@ -435,6 +435,31 @@ def test_dp_duplicate_views_downweighted():
                                np.asarray(ref.opt.nu.feat), atol=1e-10)
 
 
+def test_band_step_1x1_matches_plain():
+    """Degenerate 1x1 mesh: the band step's exchange fast path (no
+    routing sort) reproduces the plain single-device step — the config
+    the real-chip overhead benchmark measures."""
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB+ED",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]))
+    step1 = build_train_step(cfg, opt, H, W, add_prefilter=False,
+                             rasterizer="tiled")
+    r1, m1 = step1(jax.tree.map(jnp.copy, ts),
+                   camera_tensors(cams[0], do_stats=True), 1)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    stepb = build_sharded_train_step(cfg, opt, mesh, H, W,
+                                     add_prefilter=False, shard_tiles=True)
+    rb, mb = stepb(shard_state(ts, mesh), _stack_cams(cams[:1]), 1)
+    assert float(mb["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(rb.params.anchor),
+                               np.asarray(r1.params.anchor), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb.opt.nu.feat),
+                               np.asarray(r1.opt.nu.feat), atol=1e-10)
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """Orbax sharded checkpoint: save from a mesh-sharded TrainState
     (every device writes its shards, no host gather), restore into the

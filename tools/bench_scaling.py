@@ -73,13 +73,15 @@ def _scene(width: int, height: int, n_points: int, capacity: int,
     cap = max(round_capacity(int(ts0.n)), capacity or 0)
     cap = -(-cap // max(model_axis, 1)) * max(model_axis, 1)
     cfg, ts, cams = _flagship(capacity=cap, width=width, height=height,
-                              n_cams=n_cams, n_points=n_points,
+                              n_cams=1, n_points=n_points,
                               voxel_size=0.02,
                               scale_range=(0.01, 0.04))
-    cams = [c._replace(image=jnp.zeros((height, width, 3)),
-                       alpha_mask=jnp.ones((height, width, 1)))
-            for c in cams]
-    return cfg, ts, cams
+    # IDENTICAL view on every data shard: per-view work must be equal
+    # across device counts or rays/s comparisons measure camera variance,
+    # not scaling (different orbit views differ ~2x in instance load)
+    cam = cams[0]._replace(image=jnp.zeros((height, width, 3)),
+                           alpha_mask=jnp.ones((height, width, 1)))
+    return cfg, ts, [cam] * max(n_cams, 1)
 
 
 def _calibrate(cfg, ts, cams, width, height, n_model, backend,
@@ -174,13 +176,30 @@ def run_scaling(args) -> dict:
             dt, dropped = time_step(step, ts, batch, args.warmup,
                                     args.iters)
         rays = args.width * args.height * data_axis / dt
-        results.append({
+        row = {
             "devices": n, "step_ms": dt * 1e3, "rays_per_sec": rays,
             "n_anchors": n_anchors, "instance_cap": inst_cap,
-            "band_cap": band_cap, "n_dropped": dropped})
+            "band_cap": band_cap, "n_dropped": dropped}
         print(f"devices={n:2d}  step={dt*1e3:8.1f} ms  rays/s={rays:,.0f}"
               f"  anchors={n_anchors}  inst_cap={inst_cap}"
               f"  band_cap={band_cap}")
+        if n > 1 and model_axis > 1 and n % model_axis == 0:
+            # pure-DP control on the SAME n devices (model=1, identical
+            # views, no band exchange / model collectives): the band/DP
+            # total-throughput ratio isolates the model-axis sharding
+            # overhead from shared-host CPU-scheduling artifacts that
+            # pollute any comparison against the 1-device baseline
+            step_d, ts_d, batch_d, data_d, _, _, _ = build(
+                n, 1, args.width, args.height, args.n_points,
+                args.capacity, args.rasterizer)
+            dt_d, _ = time_step(step_d, ts_d, batch_d, args.warmup,
+                                args.iters)
+            rays_dp = args.width * args.height * data_d / dt_d
+            row["rays_per_sec_pure_dp"] = rays_dp
+            row["efficiency_vs_pure_dp"] = rays / rays_dp
+            print(f"           pure-DP control: rays/s={rays_dp:,.0f}  "
+                  f"band/DP={rays / rays_dp:.2f}")
+        results.append(row)
     base = results[0]["rays_per_sec"]
     # Two efficiency notions — see module docstring. Virtual-mesh
     # detection reads the forced-device-count flag we set ourselves (the
