@@ -6,13 +6,18 @@ Times, each as its own jitted function on the chip:
   (2) neural-gaussian MLP decode
   (3) field packing (projection + SH + cull)
   (4) tile binning (sort + segment build + instance assembly)
-  (5) loss forward (render + SSIM/L1 assembly)
-  (6) loss forward+backward
-  (7) the complete train step (fwd+bwd+Adam+stats)
+  (5) the complete train step (fwd+bwd+Adam+stats)
 so decode/binning/loss costs can be separated from the raster kernels
 (`tools/profile_bench.py` breaks the kernel pair down further).
 
-Usage: python tools/profile_full_step.py [--anchors_points 20000]
+CAVEAT (remote-TPU environments): once large programs/buffers are
+resident in a session, EVERY dispatch carries a fixed overhead (measured
+0.05 ms fresh -> 1.6-15 ms loaded on the axon tunnel). The "dispatch
+floor" line measures it with a trivial op — subtract it from each stage;
+only the end-to-end step time is overhead-amortized. For true on-device
+breakdowns capture a jax.profiler trace instead.
+
+Usage: python tools/profile_full_step.py [--n_points 20000]
 """
 from __future__ import annotations
 
@@ -64,6 +69,13 @@ def main():
     cfg, ts, cams = _flagship(capacity=None, width=W, height=H, n_cams=1,
                               n_points=args.n_points, voxel_size=0.02,
                               scale_range=(0.01, 0.04))
+    # _flagship initializes on the CPU backend; commit everything to the
+    # accelerator FIRST or each timed call re-uploads its inputs and the
+    # numbers measure the transport, not the compute
+    dev = jax.devices()[0]
+    ts = jax.tree.map(lambda x: jax.device_put(x, dev), ts)
+    cams = jax.tree.map(lambda x: jax.device_put(x, dev)
+                        if hasattr(x, "shape") else x, cams)
     cam = cams[0]._replace(image=jnp.zeros((H, W, 3)),
                            alpha_mask=jnp.ones((H, W, 1)))
     print(f"anchors={int(ts.n)} capacity={ts.params.anchor.shape[0]}",
@@ -75,6 +87,10 @@ def main():
                                         add_prefilter=True))
     cap = suggest_instance_cap(n_inst, margin=1.25)
     print(f"instances={n_inst} cap={cap}", flush=True)
+
+    probe = jnp.ones((1024,))
+    timeit("dispatch floor (trivial op)",
+           jax.jit(lambda v: v * 2 + 1), probe)
 
     @jax.jit
     def stage_mask(astate):
@@ -115,8 +131,17 @@ def main():
     step = build_train_step(cfg, opt, H, W, add_prefilter=True,
                             rasterizer="pallas", instance_cap=cap)
     ct = camera_tensors(cam, do_stats=True)
-    timeit("FULL train step", lambda t: step(t, ct, 5)[0].params.anchor,
-           ts)
+    # the step donates its state argument: time by rebinding (bench.py's
+    # measurement loop), never by re-calling with a donated buffer
+    ts2, m = step(ts, ct, 1)
+    jax.block_until_ready(m["loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        ts2, m = step(ts2, ct, i + 2)
+    jax.block_until_ready(m["loss"])
+    print(f"{'FULL train step':34s} "
+          f"{(time.perf_counter() - t0) / n * 1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
