@@ -58,7 +58,6 @@ from horizongs_tpu.parallel.tile_exchange import (
     BandLayout,
     band_layout,
     band_span,
-    exchange_halo,
     exchange_records,
 )
 from horizongs_tpu.render import prefilter_anchors
@@ -202,7 +201,13 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         dec, colors, camera = _decode(state, params, cam, n_local)
         K_local = dec.means.shape[0]
         send_cap = band_cap if band_cap is not None else K_local
-        dy = (m_idx * layout.band_px).astype(jnp.float32)
+        # composite the band EXTENDED by the halo rows directly: records
+        # are routed to every band whose halo-extended range they touch
+        # (band_span halo_px), so halo pixels composite locally and
+        # identically to the neighbor's own rows — no post-composite
+        # ppermute, and its gradient transpose disappears from the
+        # backward
+        dy = (m_idx * layout.band_px - HALO).astype(jnp.float32)
         sg = jax.lax.stop_gradient
 
         if cfg.gs_attr == "2D":
@@ -231,15 +236,17 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
 
         my = fields[:, 10] if cfg.gs_attr == "2D" else fields[:, 1]
         recv, n_drop_exch = exchange_records(
-            records, sg(my), ry, sg(bin_radii) > 0, layout, send_cap)
+            records, sg(my), ry, sg(bin_radii) > 0, layout, send_cap,
+            halo_px=HALO)
         band_px = layout.band_px
+        Hp = band_px + 2 * HALO
 
         if cfg.gs_attr == "2D":
             rfields = shift_band_2dgs(recv[:, :18], dy)
             rradii, rdepths = recv[:, 18], recv[:, 19]
             render_b, alphas_b, normals_b, distort_b, median_b, binfo = \
                 composite_fields_2dgs(
-                    rfields, rradii, rdepths, width, band_px, bg,
+                    rfields, rradii, rdepths, width, Hp, bg,
                     render_mode=cfg.render_mode, backend=backend,
                     cap=instance_cap, chunk=raster_chunk)
             extra_bands = [normals_b, distort_b, median_b]
@@ -247,25 +254,23 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
             rfields = shift_band_3dgs(recv[:, :10], dy)
             rradii = recv[:, 10]
             render_b, alphas_b, binfo = composite_fields_3dgs(
-                rfields, rradii, width, band_px, bg,
+                rfields, rradii, width, Hp, bg,
                 render_mode=cfg.render_mode, backend=backend,
                 cap=instance_cap, chunk=raster_chunk)
             extra_bands = []
 
         # band-local loss: every term is a masked interior sum over THIS
-        # band (extended with a HALO-row halo so SSIM windows and the
-        # depth-normal differences see real neighbor rows), psum-ed into
-        # the full-image loss. No device ever assembles the full image
-        # and loss FLOPs scale 1/n_model (the previous scheme gathered
-        # all bands to every device and ran the full SSIM n_model
-        # times). The psum-ed loss is replicated-identical across
-        # "model" exactly like the gathered one, so the device_fn's
-        # 1/n_model gradient rescale is unchanged.
+        # band (the composite already covers the HALO extension rows, so
+        # SSIM windows and depth-normal differences see real neighbor
+        # pixels without any cross-device exchange), psum-ed into the
+        # full-image loss. No device ever assembles the full image and
+        # loss FLOPs scale 1/n_model. The psum-ed loss is
+        # replicated-identical across "model" exactly like a gathered
+        # one, so the device_fn's 1/n_model gradient rescale is
+        # unchanged.
         chans = [render_b, alphas_b] + extra_bands
         sizes = [c.shape[-1] for c in chans]
-        patch_all = exchange_halo(jnp.concatenate(chans, axis=-1),
-                                  HALO, n_model)
-        Hp = band_px + 2 * HALO
+        patch_all = jnp.concatenate(chans, axis=-1)
         dy0 = m_idx * band_px
         grow = dy0 - HALO + jnp.arange(Hp, dtype=jnp.int32)  # global rows
         row_ok = (grow >= 0) & (grow < height)
@@ -612,7 +617,7 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
                 my = fields[:, 1]
                 ry = jnp.where(bin_radii > 0, e_ry, 0.0)
             valid = bin_radii > 0
-            b0, b1 = band_span(my, ry, layout)
+            b0, b1 = band_span(my, ry, layout, halo_px=HALO)
             dests = jnp.arange(n_model, dtype=jnp.int32)[:, None]
             touch = (valid[None, :] & (b0[None, :] <= dests)
                      & (dests <= b1[None, :]))           # (dst, K)

@@ -51,9 +51,22 @@ def band_layout(height: int, width: int, n_model: int,
 
 
 def band_span(means2d_y: jnp.ndarray, ry: jnp.ndarray,
-              layout: BandLayout):
+              layout: BandLayout, halo_px: int = 0):
     """Inclusive band index range [b0, b1] each splat's vertical extent
-    touches (same AABB rule as `binning.tile_spans`, collapsed to y)."""
+    touches (same AABB rule as `binning.tile_spans`, collapsed to y).
+
+    `halo_px`: extend each band's owned row range by this many pixels on
+    both sides — a splat is then routed to every band whose EXTENDED
+    range it touches, so each device can composite its band plus halo
+    rows locally, identical to the neighbor's composite of those rows
+    (this removes the post-composite halo ppermute entirely)."""
+    if halo_px:
+        band_px = layout.band_px
+        b0 = jnp.floor((means2d_y - ry - halo_px) / band_px)
+        b1 = jnp.floor((means2d_y + ry + halo_px) / band_px)
+        b0 = jnp.clip(b0, 0, layout.n_model - 1).astype(jnp.int32)
+        b1 = jnp.clip(b1, 0, layout.n_model - 1).astype(jnp.int32)
+        return b0, b1
     ty0 = jnp.floor((means2d_y - ry) / layout.tile_h).astype(jnp.int32)
     ty1 = jnp.floor((means2d_y + ry) / layout.tile_h).astype(jnp.int32)
     ty0 = jnp.clip(ty0, 0, layout.n_tiles_y - 1)
@@ -63,7 +76,8 @@ def band_span(means2d_y: jnp.ndarray, ry: jnp.ndarray,
 
 def route_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
                   ry: jnp.ndarray, valid: jnp.ndarray,
-                  layout: BandLayout, send_cap: int):
+                  layout: BandLayout, send_cap: int,
+                  halo_px: int = 0):
     """Compact records into per-destination send blocks.
 
     records: (K, R) rows to route (row must self-invalidate when zeroed —
@@ -71,7 +85,7 @@ def route_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
     n_dropped ()). Pure per-device code — usable outside shard_map for
     unit tests."""
     K = records.shape[0]
-    b0, b1 = band_span(means2d_y, ry, layout)
+    b0, b1 = band_span(means2d_y, ry, layout, halo_px)
     dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
     mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
     # per-destination compaction: keys == row index when routed, K when
@@ -89,10 +103,11 @@ def route_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
 def exchange_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
                      ry: jnp.ndarray, valid: jnp.ndarray,
                      layout: BandLayout, send_cap: int,
-                     axis_name: str = "model"):
+                     axis_name: str = "model", halo_px: int = 0):
     """Route + all_to_all. Inside shard_map over `axis_name` only.
     Returns (recv (n_model*send_cap, R), n_dropped ()) — recv rows are
-    the records every shard routed to THIS device's band."""
+    the records every shard routed to THIS device's band (+halo rows
+    when `halo_px` > 0: the receiver composites its halo locally)."""
     if layout.n_model == 1 and send_cap >= records.shape[0]:
         # degenerate single-band mesh: every record already belongs to
         # this device — skip the routing sort + gather entirely (the
@@ -101,7 +116,7 @@ def exchange_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
         keep = valid.astype(records.dtype)[:, None]
         return records * keep, jnp.zeros((), jnp.int32)
     send, n_dropped = route_records(records, means2d_y, ry, valid,
-                                    layout, send_cap)
+                                    layout, send_cap, halo_px)
     if layout.n_model == 1:
         return send, n_dropped
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
@@ -132,11 +147,12 @@ def exchange_halo(x: jnp.ndarray, halo: int, n_model: int,
 
 
 def count_routed_records(means2d_y: jnp.ndarray, ry: jnp.ndarray,
-                         valid: jnp.ndarray, layout: BandLayout):
+                         valid: jnp.ndarray, layout: BandLayout,
+                         halo_px: int = 0):
     """Max records any single destination band receives from this shard —
     the quantity `send_cap` must cover. Jittable; use max over sample
     views x margin to calibrate (mirrors `count_render_instances`)."""
-    b0, b1 = band_span(means2d_y, ry, layout)
+    b0, b1 = band_span(means2d_y, ry, layout, halo_px)
     dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
     mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
     return jnp.max(jnp.sum(mask, axis=1))
