@@ -130,9 +130,13 @@ def full_train_step(on_tpu: bool) -> dict:
     cam = cams[0]._replace(image=jnp.zeros((H, W, 3)),
                            alpha_mask=jnp.ones((H, W, 1)))
     opt = make_optim(start_stat=0)
+    # count with the chosen backend's OWN tile shape (scan tiles are
+    # 16x16, pallas 32x32 — a pallas-tile count under-sizes the scan cap
+    # ~4x and the fallback bench would silently drop instances)
     n_inst = int(count_render_instances(
         cam, cfg, mlps_from_params(ts.params), ts.anchor_state(),
-        add_prefilter=True))
+        add_prefilter=True,
+        backend="pallas" if rasterizer == "pallas" else "scan"))
     cap = suggest_instance_cap(n_inst, margin=1.25)
     step = build_train_step(cfg, opt, H, W, add_prefilter=True,
                             rasterizer=rasterizer, instance_cap=cap)

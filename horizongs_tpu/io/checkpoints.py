@@ -119,8 +119,12 @@ def load_anchor_ply(path: str, cfg: ModelConfig,
 # explicit PLY
 # ---------------------------------------------------------------------------
 
-def save_explicit_ply(path: str, cfg: ModelConfig, arrays: dict) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def explicit_ply_props(cfg: ModelConfig, arrays: dict
+                       ) -> Tuple[dict, list]:
+    """Explicit-gaussian arrays -> (ordered PLY props, obj_info) in the
+    reference's schema (`base_model.py:566-697`: f_dc/f_rest
+    channel-major, raw opacity, linear scales). Shared by the one-shot
+    writer and the streaming chunk merger."""
     xyz = arrays["xyz"]
     n = xyz.shape[0]
     feats = arrays["features"]                     # (n, K, 3)
@@ -143,6 +147,12 @@ def save_explicit_ply(path: str, cfg: ModelConfig, arrays: dict) -> None:
         props[f"scale_{i}"] = arrays["scaling"][:, i]
     for i in range(4):
         props[f"rot_{i}"] = arrays["rotation"][:, i]
+    return props, obj_info
+
+
+def save_explicit_ply(path: str, cfg: ModelConfig, arrays: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    props, obj_info = explicit_ply_props(cfg, arrays)
     write_ply(path, props, obj_info)
 
 
@@ -260,16 +270,55 @@ def save_sharded_checkpoint(path: str, state, iteration: int) -> None:
     ckptr.close()
 
 
+def sharded_checkpoint_capacity(path: str) -> int:
+    """Padded anchor capacity stored in a sharded checkpoint, read from
+    orbax metadata without restoring anything — resume code uses it to
+    decide whether the trainer's state template must be re-padded (the
+    normal case after any densify capacity growth)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+    ckptr.close()
+    return int(tree["state"]["params"]["anchor"].shape[0])
+
+
+def _adapt_template(tmpl, stored):
+    """Swap template leaves whose shape differs from the stored array's
+    for ShapeDtypeStructs at the STORED shape (keeping the template's
+    sharding): orbax refuses shape mismatches on jax.Array leaves
+    ('Truncating/padding is disabled'), so a resume after densify
+    capacity growth must restore at the checkpoint's own capacity.
+    numpy-template leaves already restore at the stored shape."""
+    if tmpl is None:
+        return None
+    if isinstance(tmpl, dict):
+        return {k: _adapt_template(v, stored[k]) for k, v in tmpl.items()}
+    if hasattr(tmpl, "_fields"):
+        return type(tmpl)(*(_adapt_template(getattr(tmpl, f), stored[f])
+                            for f in tmpl._fields))
+    shape = tuple(stored.shape)
+    if not isinstance(tmpl, jax.Array) or tuple(tmpl.shape) == shape:
+        return tmpl
+    return jax.ShapeDtypeStruct(shape, tmpl.dtype, sharding=tmpl.sharding)
+
+
 def load_sharded_checkpoint(path: str, template):
     """Restore a sharded checkpoint into the template's structure AND
     placement: leaves come back with the template's sharding (so a mesh
     run resumes sharded without ever materializing the full table on one
-    host). Returns (state, iteration)."""
+    host). Capacity-adaptive: leaves whose padded (anchor) dims differ
+    from the stored shapes restore at the STORED capacity — the returned
+    state's capacity is the checkpoint's, not the template's, and callers
+    on a mesh must re-pad if it no longer divides the model axis.
+    Returns (state, iteration)."""
     import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    stored = ckptr.metadata(path).item_metadata.tree
+    template = _adapt_template(template, stored["state"])
     payload_t = {"state": template, "iteration": np.asarray(0)}
     restore_args = ocp.checkpoint_utils.construct_restore_args(payload_t)
-    ckptr = ocp.PyTreeCheckpointer()
-    out = ckptr.restore(os.path.abspath(path),
+    out = ckptr.restore(path,
                         args=ocp.args.PyTreeRestore(
                             item=payload_t, restore_args=restore_args))
     ckptr.close()

@@ -25,7 +25,6 @@ import numpy as np
 
 from horizongs_tpu.io.checkpoints import (
     load_explicit_ply,
-    save_explicit_ply,
     search_max_iteration,
 )
 from horizongs_tpu.models.config import ModelConfig
@@ -116,36 +115,55 @@ def consolidate_chunks(chunk_model_dirs: Dict[str, str],
                        partitions_meta: dict, merged_dir: str,
                        cfg: ModelConfig, scale: float = 1.0,
                        plane=(0, 1)) -> str:
-    """Merge per-chunk explicit PLYs -> one explicit PLY.
+    """Merge per-chunk explicit PLYs -> one explicit PLY, STREAMING:
+    two passes over the chunks (count, then crop-and-append), so peak
+    memory is one chunk's arrays — at Block_A scale (8 chunks x millions
+    of explicit gaussians) the reference's all-in-RAM concat
+    (`merge.py:55-217`) costs GBs; this is bounded by the largest chunk.
 
     chunk_model_dirs: {chunk_id: model_path of the trained chunk}."""
+    from horizongs_tpu.io.checkpoints import explicit_ply_props
+    from horizongs_tpu.io.plyio import PlyStreamWriter
     px, py = plane
-    merged = {k: [] for k in ("xyz", "features", "opacity", "scaling",
-                              "rotation", "level", "extra_level")}
-    loaded_iter = 0
-    last_info = {}
-    for cid, mdir in chunk_model_dirs.items():
+
+    def _cropped(cid: str, mdir: str):
         pc_dir = os.path.join(mdir, "point_cloud")
         it = search_max_iteration(pc_dir)
         if it < 0:
             raise FileNotFoundError(f"no saved iterations under {pc_dir}")
-        loaded_iter = max(loaded_iter, it)
         arrays, info = load_explicit_ply(
             os.path.join(pc_dir, f"iteration_{it}",
                          "point_cloud_explicit.ply"))
-        last_info = info
         xb, yb = partitions_meta["chunks"][cid]["true_bounds"]
         xyz = arrays["xyz"]
-        mask = ((xyz[:, px] >= xb[0] / scale) & (xyz[:, px] <= xb[1] / scale)
-                & (xyz[:, py] >= yb[0] / scale) & (xyz[:, py] <= yb[1] / scale))
-        for k in merged:
-            merged[k].append(arrays[k][mask])
-    arrays = {k: np.concatenate(v) for k, v in merged.items()}
+        mask = ((xyz[:, px] >= xb[0] / scale)
+                & (xyz[:, px] <= xb[1] / scale)
+                & (xyz[:, py] >= yb[0] / scale)
+                & (xyz[:, py] <= yb[1] / scale))
+        return {k: v[mask] for k, v in arrays.items()}, info, it
 
-    out_dir = os.path.join(merged_dir, "point_cloud",
-                           f"iteration_{loaded_iter}")
-    os.makedirs(out_dir, exist_ok=True)
+    # pass 1: per-chunk cropped row counts + schema (one chunk resident
+    # at a time; arrays dropped after counting)
+    loaded_iter = 0
+    total = 0
+    last_info: dict = {}
+    schema = None
     import dataclasses
+    for cid, mdir in chunk_model_dirs.items():
+        arrays, info, it = _cropped(cid, mdir)
+        loaded_iter = max(loaded_iter, it)
+        last_info = info
+        total += arrays["xyz"].shape[0]
+        props, _ = explicit_ply_props(cfg, arrays)
+        chunk_schema = [(k, np.float32) for k in props]
+        if schema is None:
+            schema = chunk_schema
+        elif [s[0] for s in schema] != [s[0] for s in chunk_schema]:
+            raise ValueError(f"chunk {cid} has a different explicit-PLY "
+                             f"schema than the first chunk — chunks must "
+                             f"be trained with the same color_attr/LOD "
+                             f"settings to merge")
+
     if last_info:
         cfg = dataclasses.replace(
             cfg,
@@ -155,6 +173,22 @@ def consolidate_chunks(chunk_model_dirs: Dict[str, str],
                                             cfg.aerial_levels)),
             street_levels=int(last_info.get("street_levels",
                                             cfg.street_levels)))
+
+    obj_info = []
+    if cfg.is_lod:
+        obj_info = [f"standard_dist {cfg.standard_dist:.6f}",
+                    f"aerial_levels {cfg.aerial_levels:.6f}",
+                    f"street_levels {cfg.street_levels:.6f}"]
+
+    out_dir = os.path.join(merged_dir, "point_cloud",
+                           f"iteration_{loaded_iter}")
+    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "point_cloud_explicit.ply")
-    save_explicit_ply(path, cfg, arrays)
+
+    # pass 2: crop-and-append each chunk into the output
+    with PlyStreamWriter(path, schema, total, obj_info) as w:
+        for cid, mdir in chunk_model_dirs.items():
+            arrays, _, _ = _cropped(cid, mdir)
+            props, _ = explicit_ply_props(cfg, arrays)
+            w.append(props)
     return path

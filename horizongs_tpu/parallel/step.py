@@ -622,6 +622,12 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
             touch = (valid[None, :] & (b0[None, :] <= dests)
                      & (dests <= b1[None, :]))           # (dst, K)
             K_rows = touch.shape[1]
+            if K_rows % n_model:
+                raise ValueError(
+                    f"decoded row count {K_rows} is not divisible by "
+                    f"n_model={n_model}: pad the anchor table first "
+                    f"(train.densify.pad_state_capacity) so rows shard "
+                    f"evenly, as trainer-built states do")
             per = touch.reshape(n_model, n_model, K_rows // n_model)
             return jnp.max(jnp.sum(per, axis=-1))
 

@@ -42,6 +42,11 @@ def pick_rasterizer(requested: str = "auto") -> str:
 
 
 class Trainer:
+    # recalibration-margin ceiling: 8x the 1.25 initial margin — past it
+    # the trainer stops growing capacities (and recompiling) and lets the
+    # counted overflow trimming handle the pathological view
+    MARGIN_CEIL = 8 * 1.25
+
     def __init__(self, cfg: ModelConfig, op, pp, scene, logger=None,
                  rasterizer: str = "auto", seed: int = 0,
                  wandb_run=None, viewer_port: Optional[int] = None,
@@ -91,6 +96,7 @@ class Trainer:
         # separately from the instance margin so an undersized band_cap
         # recalibrates the exchange, not the instance list
         self._band_margin = defaultdict(lambda: 1.25)
+        self._margin_capped = set()
         # live prefilter flag: the reference flips it off for the last
         # `no_prefilter_step` iterations (`train.py:280-281`)
         self.add_prefilter = pp.add_prefilter
@@ -198,6 +204,57 @@ class Trainer:
                 backend=backend, add_prefilter=self.add_prefilter))
                 for c in cams)
         return suggest_band_cap(n, margin=self._band_margin[(H, W)])
+
+    def _handle_overflow(self, res, d_inst: int, d_exch: int,
+                         it: int) -> bool:
+        """A calibrated capacity overflowed (anchors grew/moved): widen
+        THE MATCHING margin for this resolution and rebuild only its step
+        functions — overflow is counted, never silent, and an undersized
+        band_cap recalibrates the exchange rather than looping on the
+        instance list. Margins are CAPPED at `MARGIN_CEIL` (8x initial):
+        without a ceiling a pathological view ratchets capacity 1.5x per
+        overflow straight past HBM; at the ceiling the step is kept
+        (overflow records keep being trimmed + counted) instead of
+        wedging on recompiles. Returns whether a rebuild was triggered."""
+        widened = False
+        if d_inst > 0:
+            if self._cap_margin[res] * 1.5 <= self.MARGIN_CEIL:
+                self._cap_margin[res] *= 1.5
+                widened = True
+                self.log(f"[it {it}] {d_inst} tile instances dropped — "
+                         f"recalibrating instance capacity for "
+                         f"{res[1]}x{res[0]} "
+                         f"(margin {self._cap_margin[res]:.2f})")
+            elif res not in self._margin_capped:
+                self._margin_capped.add(res)
+                self.log(f"[it {it}] instance-capacity margin for "
+                         f"{res[1]}x{res[0]} hit its "
+                         f"{self.MARGIN_CEIL:.1f} ceiling — keeping the "
+                         f"step; overflow records will be trimmed "
+                         f"(counted, not silent)")
+        if d_exch > 0:
+            if self.band_cap is not None:
+                self.log(f"[it {it}] explicit --band_cap {self.band_cap} "
+                         f"overflowed — switching to measured calibration")
+                self.band_cap = None
+            if self._band_margin[res] * 1.5 <= self.MARGIN_CEIL:
+                self._band_margin[res] *= 1.5
+                widened = True
+                self.log(f"[it {it}] {d_exch} band-exchange records "
+                         f"dropped — recalibrating band capacity for "
+                         f"{res[1]}x{res[0]} "
+                         f"(margin {self._band_margin[res]:.2f})")
+            elif ("band", res) not in self._margin_capped:
+                self._margin_capped.add(("band", res))
+                self.log(f"[it {it}] band-capacity margin for "
+                         f"{res[1]}x{res[0]} hit its "
+                         f"{self.MARGIN_CEIL:.1f} ceiling — keeping the "
+                         f"step; overflow records will be trimmed "
+                         f"(counted, not silent)")
+        if widened:
+            for k in [k for k in self._steps if k[:2] == res]:
+                del self._steps[k]
+        return widened
 
     def _step_fn(self, H, W):
         key = (H, W, self.state.params.anchor.shape[0],
@@ -474,31 +531,8 @@ class Trainer:
                                      metrics.get("n_dropped", 0)))
             d_exch = int(metrics.get("n_dropped_exchange", 0))
             if d_inst > 0 or d_exch > 0:
-                # a calibrated capacity overflowed (anchors grew/moved):
-                # widen THE MATCHING margin for this resolution and
-                # rebuild only its step functions — overflow is counted,
-                # never silent, and an undersized band_cap recalibrates
-                # the exchange rather than looping on the instance list
-                res = (cam.height, cam.width)
-                if d_inst > 0:
-                    self._cap_margin[res] *= 1.5
-                    self.log(f"[it {it}] {d_inst} tile instances dropped "
-                             f"— recalibrating instance capacity for "
-                             f"{res[1]}x{res[0]} "
-                             f"(margin {self._cap_margin[res]:.2f})")
-                if d_exch > 0:
-                    self._band_margin[res] *= 1.5
-                    if self.band_cap is not None:
-                        self.log(f"[it {it}] explicit --band_cap "
-                                 f"{self.band_cap} overflowed — switching"
-                                 f" to measured calibration")
-                        self.band_cap = None
-                    self.log(f"[it {it}] {d_exch} band-exchange records "
-                             f"dropped — recalibrating band capacity for "
-                             f"{res[1]}x{res[0]} "
-                             f"(margin {self._band_margin[res]:.2f})")
-                for k in [k for k in self._steps if k[:2] == res]:
-                    del self._steps[k]
+                self._handle_overflow((cam.height, cam.width),
+                                      d_inst, d_exch, it)
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it > first_iter else loss
             history.append(loss)
             if it % progress_every == 0 or it == iterations:

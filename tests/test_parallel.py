@@ -486,6 +486,46 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert restored.params.anchor.sharding == sharded.params.anchor.sharding
 
 
+def test_sharded_checkpoint_resume_after_growth(tmp_path):
+    """Resume from a sharded checkpoint whose padded anchor capacity
+    differs from the freshly-initialized template — the normal case
+    after any densify capacity growth. The restore must come back at the
+    STORED capacity with values intact (orbax refuses shape mismatches,
+    so the loader re-templates from checkpoint metadata)."""
+    from horizongs_tpu.io.checkpoints import (
+        load_sharded_checkpoint, save_sharded_checkpoint,
+        sharded_checkpoint_capacity)
+    from horizongs_tpu.train.densify import pad_state_capacity
+
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    grown = pad_state_capacity(_state(cfg, np.asarray(g["means"])), 512)
+    sharded = shard_state(grown, mesh)
+    path = str(tmp_path / "ckpt_grown")
+    save_sharded_checkpoint(path, sharded, 7)
+    assert sharded_checkpoint_capacity(path) == 512
+
+    # fresh trainer template at the ORIGINAL (smaller) capacity
+    template = shard_state(_state(cfg, np.asarray(g["means"])), mesh)
+    assert template.params.anchor.shape[0] == 256
+    restored, it = load_sharded_checkpoint(path, template)
+    assert it == 7
+    assert restored.params.anchor.shape[0] == 512
+    for a, b in zip(jax.tree.leaves(sharded), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert restored.params.anchor.sharding.is_equivalent_to(
+        sharded.params.anchor.sharding, 2)
+
+    # shrink direction too (template larger than the checkpoint)
+    big = shard_state(pad_state_capacity(
+        _state(cfg, np.asarray(g["means"])), 1024), mesh)
+    restored2, _ = load_sharded_checkpoint(path, big)
+    assert restored2.params.anchor.shape[0] == 512
+
+
 def test_route_records_compaction():
     """Unit: per-destination compaction routes each record to exactly the
     bands its vertical extent touches, in original order, and counts

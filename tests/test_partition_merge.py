@@ -165,3 +165,56 @@ def test_consolidate_chunks(tmp_path):
     cam = lookat_camera(width=32, height=32, eye=(0, 0, -4))
     pkg = render_explicit(cam, cfg, est, jnp.zeros(3), rasterizer="tiled")
     assert np.isfinite(np.asarray(pkg["render"])).all()
+
+
+def test_consolidate_chunks_streaming_many(tmp_path):
+    """12 chunks through the streaming merger (peak memory = one chunk):
+    exact row conservation — every in-bounds row appears exactly once,
+    overlap rows are cropped, and the streamed header count matches."""
+    from horizongs_tpu.models import ModelConfig
+    from horizongs_tpu.io.checkpoints import (
+        save_explicit_ply, load_explicit_ply)
+    from horizongs_tpu.parallel.chunks import consolidate_chunks
+
+    cfg = ModelConfig(name="GaussianModel", feat_dim=8, n_offsets=4,
+                      view_dim=0, color_attr="SH1", voxel_size=0.2)
+    rng = np.random.default_rng(1)
+    chunk_dirs = {}
+    meta = {"chunks": {}}
+    n_in, n_out = 50, 20
+    for i in range(12):
+        cid = f"{i}_0"
+        x_in = rng.uniform(i, i + 1, size=(n_in,))
+        x_out = rng.uniform(i + 1, i + 1.3, size=(n_out,))  # overlap spill
+        x = np.concatenate([x_in, x_out])
+        n = x.shape[0]
+        xyz = np.stack([x, rng.uniform(-1, 1, n),
+                        rng.uniform(-1, 1, n)], axis=1).astype(np.float32)
+        arrays = {
+            "xyz": xyz,
+            "features": rng.normal(size=(n, 4, 3)).astype(np.float32),
+            "opacity": rng.uniform(0, 1, n).astype(np.float32),
+            "scaling": rng.uniform(0.01, 0.1, (n, 3)).astype(np.float32),
+            "rotation": np.tile([1.0, 0, 0, 0],
+                                (n, 1)).astype(np.float32),
+            "level": np.zeros(n, np.int32),
+            "extra_level": np.zeros(n, np.float32)}
+        mdir = str(tmp_path / cid)
+        it_dir = os.path.join(mdir, "point_cloud", "iteration_10")
+        os.makedirs(it_dir)
+        save_explicit_ply(os.path.join(it_dir, "point_cloud_explicit.ply"),
+                          cfg, arrays)
+        chunk_dirs[cid] = mdir
+        meta["chunks"][cid] = {
+            "true_bounds": [[float(i), float(i + 1)], [-1.0, 1.0]],
+            "bounds": [[i - 0.3, i + 1.3], [-1.0, 1.0]]}
+
+    path = consolidate_chunks(chunk_dirs, meta, str(tmp_path / "merged"),
+                              cfg)
+    merged, _ = load_explicit_ply(path)
+    # each chunk is cropped to its OWN true bounds: the 50 in-bounds
+    # rows survive exactly once, the 20 spill rows (owned by the next
+    # chunk, which trains its own copies) are dropped
+    assert merged["xyz"].shape[0] == 12 * n_in
+    xs = merged["xyz"][:, 0]
+    assert xs.min() >= 0.0 and xs.max() <= 12.0 + 1e-5

@@ -150,3 +150,33 @@ def test_clean_stats():
         anchor_demon=ts.stats.anchor_demon + 5))
     ts2 = clean_stats(ts, cfg)
     assert float(jnp.sum(ts2.stats.anchor_demon)) == 0.0
+
+
+def test_overflow_margin_ceiling():
+    """The recalibration margins are bounded: a pathological view that
+    overflows every step must not ratchet capacity (1.5x per overflow)
+    past HBM — at 8x the initial margin the trainer keeps the compiled
+    step and relies on counted overflow trimming."""
+    from collections import defaultdict
+    from horizongs_tpu.train.trainer import Trainer
+
+    t = object.__new__(Trainer)   # margin logic only — no Scene needed
+    t._cap_margin = defaultdict(lambda: 1.25)
+    t._band_margin = defaultdict(lambda: 1.25)
+    t._margin_capped = set()
+    t._steps = {(32, 32, 256, None, True): "step"}
+    t.band_cap = 64
+    t.log = lambda *a, **k: None
+    res = (32, 32)
+    rebuilds = 0
+    for i in range(50):
+        if t._handle_overflow(res, d_inst=100, d_exch=100, it=i):
+            rebuilds += 1
+    assert t._cap_margin[res] <= Trainer.MARGIN_CEIL
+    assert t._band_margin[res] <= Trainer.MARGIN_CEIL
+    assert rebuilds <= 6          # log1.5(8) ~ 5.1 widenings per margin
+    assert t.band_cap is None     # explicit cap demoted to calibration
+    # once capped: no rebuild, the step function survives
+    t._steps[(32, 32, 256, None, True)] = "step"
+    assert not t._handle_overflow(res, 100, 100, 99)
+    assert (32, 32, 256, None, True) in t._steps
