@@ -55,11 +55,13 @@ def main(argv=None):
                         "exchange (default: auto-calibrated from sample "
                         "views; overflow is counted + recalibrated, "
                         "never silent)")
-    parser.add_argument("--checkpoint_format", default="npz",
+    parser.add_argument("--checkpoint_format", default=None,
                         choices=["npz", "sharded"],
                         help="npz: host-gathered single file (portable). "
                         "sharded: orbax directory, every device writes "
-                        "its own shards — use at city scale / multi-host")
+                        "its own shards (no host gather) — the default "
+                        "whenever --mesh is active; npz is the default "
+                        "for single-device runs")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="enable jax_debug_nans: every jitted step "
                         "re-runs op-by-op on a NaN and raises at the "
@@ -131,6 +133,8 @@ def main(argv=None):
             logger.info(f"training mesh: data={mesh.shape['data']} x "
                         f"model={mesh.shape['model']} "
                         f"({len(mesh.devices.flat)} devices)")
+    if args.checkpoint_format is None:
+        args.checkpoint_format = "sharded" if mesh is not None else "npz"
 
     scene = Scene(lp, cfg, weed_ratio=pp.weed_ratio, logger=logger,
                   seed=args.seed)

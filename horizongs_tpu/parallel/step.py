@@ -628,10 +628,27 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
                     f"n_model={n_model}: pad the anchor table first "
                     f"(train.densify.pad_state_capacity) so rows shard "
                     f"evenly, as trainer-built states do")
+            # (dst, src, rows/shard) -> per-(src, dst) routed counts
             per = touch.reshape(n_model, n_model, K_rows // n_model)
-            return jnp.max(jnp.sum(per, axis=-1))
+            return jnp.sum(per, axis=-1).T                # (src, dst)
 
         _BAND_COUNTERS[key] = counter
+    m = _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
+                            cam.resolution_scale, int(cam.uid),
+                            mlps, state)
+    return jnp.max(m)
+
+
+def count_band_matrix(cam: Camera, cfg: ModelConfig, mlps, state,
+                      n_model: int, backend: str = "scan",
+                      add_prefilter: bool = True) -> jnp.ndarray:
+    """Full (src shard, dst band) routed-record matrix for this view —
+    the load-balance diagnostic behind `count_band_records` (which is
+    its max element). Column sums are each band's total composite load;
+    their spread is the band imbalance a synchronous step waits on."""
+    count_band_records(cam, cfg, mlps, state, n_model, backend=backend,
+                       add_prefilter=add_prefilter)   # ensure cached
+    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter)
     return _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
                                cam.resolution_scale, int(cam.uid),
                                mlps, state)

@@ -119,6 +119,28 @@ def main():
     t_load = time.perf_counter() - t0
     os.remove(path)
 
+    # orbax sharded directory format (the mesh-run default): every
+    # device writes its own shards in parallel. NOTE on this
+    # environment: with ONE remote chip behind the ~20 MB/s axon tunnel
+    # both formats are transfer-bound — the format's point is that on a
+    # real pod each host writes only its local shards; run with --cpu
+    # for the local-device write cost the deployment would see.
+    import shutil
+    from horizongs_tpu.io.checkpoints import (
+        load_sharded_checkpoint, save_sharded_checkpoint)
+    spath = os.path.join("/tmp", "hgs_densify_bench_ckpt_sharded")
+    shutil.rmtree(spath, ignore_errors=True)
+    t0 = time.perf_counter()
+    save_sharded_checkpoint(spath, ts2, 1000)
+    t_ssave = time.perf_counter() - t0
+    s_mb = sum(os.path.getsize(os.path.join(dp, f))
+               for dp, _, fs in os.walk(spath) for f in fs) / 1e6
+    t0 = time.perf_counter()
+    sloaded, _ = load_sharded_checkpoint(spath, ts2)
+    jax.block_until_ready(sloaded.params.anchor)
+    t_sload = time.perf_counter() - t0
+    shutil.rmtree(spath, ignore_errors=True)
+
     out = {
         "platform": jax.default_backend(),
         "anchors": n, "capacity": C, "n_offsets": k, "feat_dim": F,
@@ -128,6 +150,9 @@ def main():
         "checkpoint_save_s": round(t_save, 2),
         "checkpoint_load_s": round(t_load, 2),
         "checkpoint_mb": round(size_mb, 1),
+        "sharded_save_s": round(t_ssave, 2),
+        "sharded_load_s": round(t_sload, 2),
+        "sharded_mb": round(s_mb, 1),
     }
     print(json.dumps(out, indent=1))
     with open(args.out, "w") as f:
