@@ -34,8 +34,12 @@ GRAD_ALIGN = 128    # == raster kernels' chunk size G
 def grad_capacity(cap: int, n_tiles: int, align: int = GRAD_ALIGN) -> int:
     """Static column count of the backward kernel's gradient buffer: each
     tile's padded span ceil((lead+count)/G)*G costs at most count+2G-2
-    columns, and real-tile counts sum to <= cap."""
-    return cap + 2 * align * n_tiles
+    columns, and real-tile counts sum to <= cap. The final `align`
+    columns are the SENTINEL block — provably beyond every tile's
+    columns — where `build_tile_instances` routes invalid slots and
+    which the backward kernels zero, so the gradient un-sort gather
+    needs no runtime validity mask."""
+    return cap + 2 * align * n_tiles + align
 
 
 class TileInstances(NamedTuple):
@@ -290,9 +294,12 @@ def build_tile_instances(means2d: jnp.ndarray, radii: jnp.ndarray,
     ttab = jnp.stack([out_starts[:n_tiles] + lead_t - starts_t,
                       out_starts[:n_tiles]], axis=1)
     tg = ttab[t_slot]                                          # (cap, 2)
-    grad_slot = jnp.clip(tg[:, 0] + inv_perm, 0, cap_out - 1)
-    # invalid slots (overflow or circle-culled) must never pass the
-    # routing live test `slot_chunk < ifin[slot_tile]`
+    # invalid slots (overflow or ellipse/circle-culled) route to the
+    # sentinel block (the last A columns), which the backward kernels
+    # write as zeros — the grad gather then needs no validity mask
+    grad_slot = jnp.where(tile_id < n_tiles,
+                          jnp.clip(tg[:, 0] + inv_perm, 0, cap_out - 1),
+                          cap_out - A)
     slot_chunk = jnp.where(tile_id < n_tiles,
                            (grad_slot - tg[:, 1]) // A,
                            jnp.int32(2 ** 30))

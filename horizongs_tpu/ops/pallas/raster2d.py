@@ -294,6 +294,47 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
         return pltpu.make_async_copy(
             gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
 
+    # ZERO phase: never-composited chunks + (last grid step) the
+    # sentinel block — dead columns read as exact zeros so the
+    # wrapper's un-sort gather needs no runtime live mask (see
+    # raster3d._bwd_kernel for rationale)
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
+    n_z = n_chunks - n_live
+    cap_out = ginst_ref.shape[1]
+    is_last = pl.program_id(0) == pl.num_programs(0) - 1
+    n_zt = n_z + jnp.where(is_last, 1, 0)
+
+    def zcol(i):
+        return jnp.where(i < n_z, out0 + (n_live + i) * G, cap_out - G)
+
+    def zdma(col, slot):
+        off = pl.multiple_of(col, G)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
+
+    @pl.when(n_zt > 0)
+    def _():
+        gbuf[0] = jnp.zeros((INST_DIM, G), F32)
+        gbuf[1] = jnp.zeros((INST_DIM, G), F32)
+
+        def zbody(i, c):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                zdma(zcol(i - 2), slot).wait()
+
+            zdma(zcol(i), slot).start()
+            return c
+
+        jax.lax.fori_loop(0, n_zt, zbody, 0)
+
+        @pl.when(n_zt > 1)
+        def _():
+            zdma(zcol(n_zt - 2), jax.lax.rem(n_zt - 2, 2)).wait()
+
+        zdma(zcol(n_zt - 1), jax.lax.rem(n_zt - 1, 2)).wait()
+
     @pl.when(n_live > 0)
     def _():
         dma(n_live - 1, jax.lax.rem(n_live - 1, 2)).start()
@@ -419,8 +460,9 @@ def rasterize2d_bwd(inst_data, tile_starts, out_starts, ifin, d_acc,
                     d_aux, aux, n_tiles_x: int, n_tiles_y: int,
                     interpret: bool = False) -> jnp.ndarray:
     """Returns per-instance grads (24, grad_capacity(CAP)) in the
-    `binning.grad_slot` column layout; columns of never-composited
-    chunks are uninitialized — mask them when routing."""
+    `binning.grad_slot` column layout; dead columns (never-composited
+    chunks, the sentinel block) are written as exact zeros — routing
+    needs no validity mask."""
     from horizongs_tpu.ops.binning import grad_capacity
     n_tiles = n_tiles_x * n_tiles_y
     cap = inst_data.shape[1] - 2 * G   # CAP+2G buffer (pair-DMA padding)

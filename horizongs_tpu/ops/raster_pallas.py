@@ -13,9 +13,10 @@ serializing scatter: the backward kernel writes one gradient row per
 instance into a per-tile G-aligned column layout (`binning.grad_slot`);
 rows are un-sorted with a precomputed gather and reduced per gaussian
 with a cumsum over the contiguous pre-sort slot ranges — all O(CAP)
-vector primitives. Columns of chunks the forward never composited
-(saturated tiles) are skipped by the backward kernel and masked here
-using the forward's per-tile live-chunk count.
+vector primitives. Dead columns — chunks the forward never composited
+(saturated tiles) and the sentinel block binning routes invalid slots
+to — are written as exact zeros by the backward kernel, so the un-sort
+gather needs no runtime validity mask.
 """
 from __future__ import annotations
 
@@ -125,23 +126,22 @@ def _assemble_inst(fields: jnp.ndarray, inst: TileInstances,
 
 
 def _instance_grads_to_fields(ginst: jnp.ndarray, inst: TileInstances,
-                              ifin: jnp.ndarray,
                               n_fields: int = N_FIELDS) -> jnp.ndarray:
     """(inst_dim, CAP_OUT) instance grads -> (N, F) per-gaussian grads.
 
-    Un-sort with the precomputed `grad_slot` gather, zero the slots whose
-    chunk the forward never composited (their grad columns are
-    uninitialized), then reduce each gaussian's contiguous pre-sort slot
-    range with a cumsum difference. Slot count may exceed the padded row
-    count when instances overflowed the cap — ranges are clipped."""
-    cap = inst.gauss_id.shape[0]
+    Un-sort with the precomputed `grad_slot` gather, then reduce each
+    gaussian's contiguous pre-sort slot range with a cumsum difference.
+    NO runtime validity mask: the backward kernels write exact zeros
+    into every dead column — never-composited chunks (saturation
+    early-exit) and the sentinel block where binning routes invalid
+    slots — so dead slots gather zero by construction (the per-slot
+    ifin[slot_tile] mask gather this replaces cost 5.8 ms/step at 1080p,
+    r4 device trace). Slot count may exceed the padded row count when
+    instances overflowed the cap — ranges are clipped."""
     n_slots = inst.inv_perm.shape[0]
-    live = ((jnp.arange(cap, dtype=jnp.int32) < inst.n_instances)
-            & (inst.slot_chunk < ifin[inst.slot_tile]))
     # all in the kernel's transposed (F, CAP) layout: the lane-axis
     # gather + cumsum avoid materializing the (CAP_OUT, F) transpose
     gu = jnp.take(ginst[:n_fields, :], inst.grad_slot, axis=1)  # (F, CAP)
-    gu = jnp.where(live[None, :], gu, 0.0)
     csum = jnp.cumsum(gu, axis=1)
     csum = jnp.concatenate([jnp.zeros((n_fields, 1)), csum], axis=1)
     ends = jnp.clip(inst.gauss_offsets, 0, n_slots)
@@ -177,7 +177,7 @@ def _raster_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
                           n_tiles_x, n_tiles_y, interpret=interpret)
     # int/bool pytree args take float0 cotangents
     d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
-    return (_instance_grads_to_fields(ginst, inst, ifin), d_inst)
+    return (_instance_grads_to_fields(ginst, inst), d_inst)
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
@@ -289,7 +289,7 @@ def _raster2d_core_bwd(n_tiles_x, n_tiles_y, interpret, res, d_out):
                             ifin, d_acc, d_aux, aux,
                             n_tiles_x, n_tiles_y, interpret=interpret)
     d_inst = jax.tree.map(lambda x: np.zeros(x.shape, float0), inst)
-    return (_instance_grads_to_fields(ginst, inst, ifin,
+    return (_instance_grads_to_fields(ginst, inst,
                                       n_fields=N_FIELDS_2D),
             d_inst)
 

@@ -140,3 +140,33 @@ def test_pallas_saturated_tile_gradients():
     # the deep tail is almost fully occluded -> negligible grads
     tail = np.asarray(gp[1][-40:])
     assert np.abs(tail).max() < 1e-5
+
+
+def test_pallas_overflow_cap_gradients_finite():
+    """Instance-cap overflow: dropped slots route to the sentinel zero
+    block (binning.grad_slot), so gradients stay finite and the
+    rendered/backward outputs only lose the dropped instances — no
+    garbage columns leak through the un-sorted gather."""
+    import functools
+    cam, g = _scene(n=200, w=64, h=64)
+    bg = jnp.zeros(3)
+
+    def loss(means, op, cap):
+        r, _, info = rasterize_pallas_3dgs(
+            means, g["quats"], g["scales"], op, g["colors"],
+            cam.viewmat, cam.K, 64, 64, bg, cap=cap, interpret=True)
+        return jnp.mean(r ** 2), info["n_dropped"]
+
+    (l_full, d0), grads_full = jax.value_and_grad(
+        functools.partial(loss, cap=8192), argnums=(0, 1),
+        has_aux=True)(g["means"], g["opacities"])
+    assert int(d0) == 0
+    # cap far below the real instance count: drops MUST be counted and
+    # every gradient must stay finite
+    (l_of, dropped), grads_of = jax.value_and_grad(
+        functools.partial(loss, cap=256), argnums=(0, 1),
+        has_aux=True)(g["means"], g["opacities"])
+    assert int(dropped) > 0
+    for t in grads_of:
+        assert bool(jnp.all(jnp.isfinite(t)))
+    assert bool(jnp.isfinite(l_of))

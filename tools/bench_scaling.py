@@ -141,8 +141,10 @@ def build(n_devices: int, model_axis: int, width: int, height: int,
 
 
 def time_step(step, ts, batch, warmup: int, iters: int):
+    """Returns (dt, dropped, final_ts) — the step donates its state, so
+    callers re-timing the same variant must thread the returned state."""
     m = None
-    for i in range(warmup):
+    for i in range(max(warmup, 1)):
         ts, m = step(ts, batch, i + 1)
     jax.block_until_ready(m["loss"])
     dropped = int(m.get("n_dropped", 0))
@@ -150,7 +152,7 @@ def time_step(step, ts, batch, warmup: int, iters: int):
     for i in range(iters):
         ts, m = step(ts, batch, i + 10)
     jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - t0) / iters, dropped
+    return (time.perf_counter() - t0) / iters, dropped, ts
 
 
 def run_scaling(args) -> dict:
@@ -163,7 +165,8 @@ def run_scaling(args) -> dict:
         step, ts, batch, data_axis, n_anchors, inst_cap, band_cap = build(
             n, model_axis, args.width, args.height, args.n_points,
             args.capacity, args.rasterizer)
-        dt, dropped = time_step(step, ts, batch, args.warmup, args.iters)
+        dt, dropped, ts = time_step(step, ts, batch, args.warmup,
+                                     args.iters)
         margin = 1.5
         while dropped and margin < 16:
             margin *= 2
@@ -173,8 +176,8 @@ def run_scaling(args) -> dict:
                 build(n, model_axis, args.width, args.height,
                       args.n_points, args.capacity, args.rasterizer,
                       margin=margin)
-            dt, dropped = time_step(step, ts, batch, args.warmup,
-                                    args.iters)
+            dt, dropped, ts = time_step(step, ts, batch, args.warmup,
+                                         args.iters)
         rays = args.width * args.height * data_axis / dt
         row = {
             "devices": n, "step_ms": dt * 1e3, "rays_per_sec": rays,
@@ -192,8 +195,8 @@ def run_scaling(args) -> dict:
             step_d, ts_d, batch_d, data_d, _, _, _ = build(
                 n, 1, args.width, args.height, args.n_points,
                 args.capacity, args.rasterizer)
-            dt_d, _ = time_step(step_d, ts_d, batch_d, args.warmup,
-                                args.iters)
+            dt_d, _, _ = time_step(step_d, ts_d, batch_d, args.warmup,
+                                   args.iters)
             rays_dp = args.width * args.height * data_d / dt_d
             row["rays_per_sec_pure_dp"] = rays_dp
             row["efficiency_vs_pure_dp"] = rays / rays_dp
@@ -240,14 +243,17 @@ def run_tpu_overhead(args) -> dict:
     """Real-chip bound of the band path's non-collective overhead:
     band-sharded step on a 1x1 mesh vs the plain step, 1080p.
 
-    METHODOLOGY (r4): >= 10 timed iterations per variant. With the old
-    4-iteration default the ratio read 1.20-1.24 while the device-plane
-    op totals (jax.profiler trace, tools/profile_band_overhead.py) show
-    only +1.2% — short timing loops on the axon remote-TPU tunnel
-    measure the session's per-dispatch overhead growth (1.6-15 ms once
-    large programs are resident), which lands on whichever variant runs
-    second. Longer chains pipeline host dispatch against device compute
-    and converge to the true device ratio."""
+    METHODOLOGY (r4): >= 10 timed iterations per variant, three
+    INTERLEAVED rounds (plain, band, plain, band, ...) with the ratio
+    taken over each variant's minimum round. With the old single-shot
+    4-iteration measurement the ratio read 1.11-1.24 while the
+    device-plane op totals (jax.profiler trace,
+    tools/profile_band_overhead.py) show only +1-2% — short
+    non-interleaved loops on the axon remote-TPU tunnel bill the
+    session's per-dispatch overhead growth (1.6-15 ms once large
+    programs are resident) plus cross-run drift to whichever variant
+    runs second. Min-of-interleaved-rounds cancels the drift; the
+    device trace remains the ground truth."""
     if args.iters < 10:
         args.iters = 12
     from horizongs_tpu.config import make_optim
@@ -267,9 +273,6 @@ def run_tpu_overhead(args) -> dict:
 
     plain = build_train_step(cfg, opt, H, W, add_prefilter=False,
                              rasterizer=rasterizer, instance_cap=inst_cap)
-    ts = jax.tree.map(jnp.copy, ts0)
-    t_plain, _ = time_step(plain, ts, ct, args.warmup, args.iters)
-
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     band = build_sharded_train_step(cfg, opt, mesh, H, W,
                                     add_prefilter=False,
@@ -277,9 +280,18 @@ def run_tpu_overhead(args) -> dict:
                                     shard_tiles=True,
                                     instance_cap=inst_cap)
     batch = jax.tree.map(lambda x: x[None], ct)
-    ts = shard_state(ts0, mesh)
-    t_band, _ = time_step(band, ts, batch, args.warmup, args.iters)
-
+    ts_p = jax.tree.map(jnp.copy, ts0)
+    ts_b = shard_state(ts0, mesh)
+    rounds_p, rounds_b = [], []
+    for r in range(3):
+        tp, _, ts_p = time_step(plain, ts_p, ct,
+                                args.warmup if r == 0 else 0, args.iters)
+        tb, _, ts_b = time_step(band, ts_b, batch,
+                                args.warmup if r == 0 else 0, args.iters)
+        rounds_p.append(tp)
+        rounds_b.append(tb)
+        print(f"  round {r}: plain={tp*1e3:.1f} ms  band={tb*1e3:.1f} ms")
+    t_plain, t_band = min(rounds_p), min(rounds_b)
     ratio = t_band / t_plain
     print(f"tpu 1x1 overhead: plain={t_plain*1e3:.1f} ms  "
           f"band={t_band*1e3:.1f} ms  ratio={ratio:.3f}  "
