@@ -55,6 +55,13 @@ def main(argv=None):
                         "exchange (default: auto-calibrated from sample "
                         "views; overflow is counted + recalibrated, "
                         "never silent)")
+    parser.add_argument("--balanced_bands", action="store_true",
+                        help="load-balanced tile-band boundaries: cut "
+                        "the image's tile rows at equal routed-record "
+                        "quantiles measured over sample views, instead "
+                        "of uniformly (street views skew uniform bands "
+                        "1.5-1.8x worst/mean; the synchronous step "
+                        "waits on the slowest band)")
     parser.add_argument("--checkpoint_format", default=None,
                         choices=["npz", "sharded"],
                         help="npz: host-gathered single file (portable). "
@@ -145,7 +152,8 @@ def main(argv=None):
                       profile_steps=(20, args.profile) if args.profile
                       else None,
                       mesh=mesh, band_cap=args.band_cap,
-                      checkpoint_format=args.checkpoint_format)
+                      checkpoint_format=args.checkpoint_format,
+                      balanced_bands=args.balanced_bands)
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])

@@ -146,7 +146,8 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
                              rasterizer: str = "tiled",
                              instance_cap: Optional[int] = None,
                              shard_tiles: bool = True,
-                             band_cap: Optional[int] = None):
+                             band_cap: Optional[int] = None,
+                             band_bounds=None):
     """Returns fn(state, cams: CameraTensors (n_data-batched), iteration)
     -> (state', metrics). Anchor capacity must divide the model axis.
 
@@ -155,7 +156,9 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
     static per-device tile-instance capacity; `band_cap` the per
     (src, dst) record slots of the band exchange (default: every local
     record — never drops). Overflows of either are counted in
-    `metrics["n_dropped"]`, never silent."""
+    `metrics["n_dropped"]`, never silent. `band_bounds`: optional
+    load-balanced band boundaries in tile-row units
+    (`tile_exchange.suggest_band_bounds`); default uniform."""
     bg = background if background is not None else jnp.zeros(3)
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -165,7 +168,8 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         raise ValueError("2DGS requires shard_tiles=True in the sharded "
                          "step (the replicated fallback is 3DGS-only)")
     tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
-    layout = band_layout(height, width, n_model, tile_h)
+    layout = band_layout(height, width, n_model, tile_h,
+                         bounds=band_bounds)
     if cfg.color_attr != "RGB":
         sh_deg = (cfg.max_sh_degree if active_sh_degree is None
                   else active_sh_degree)
@@ -206,8 +210,13 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         # (band_span halo_px), so halo pixels composite locally and
         # identically to the neighbor's own rows — no post-composite
         # ppermute, and its gradient transpose disappears from the
-        # backward
-        dy = (m_idx * layout.band_px - HALO).astype(jnp.float32)
+        # backward. Per-band starts/heights support load-balanced
+        # boundaries (uniform bounds reduce to m_idx * band_px).
+        starts_arr = jnp.asarray(layout.starts_px, jnp.int32)
+        heights_arr = jnp.asarray(layout.heights_px, jnp.int32)
+        dy0 = starts_arr[m_idx]
+        h_band = heights_arr[m_idx]
+        dy = (dy0 - HALO).astype(jnp.float32)
         sg = jax.lax.stop_gradient
 
         if cfg.gs_attr == "2D":
@@ -271,11 +280,10 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
         chans = [render_b, alphas_b] + extra_bands
         sizes = [c.shape[-1] for c in chans]
         patch_all = jnp.concatenate(chans, axis=-1)
-        dy0 = m_idx * band_px
         grow = dy0 - HALO + jnp.arange(Hp, dtype=jnp.int32)  # global rows
         row_ok = (grow >= 0) & (grow < height)
         li = jnp.arange(Hp, dtype=jnp.int32)
-        interior = (row_ok & (li >= HALO) & (li < HALO + band_px)
+        interior = (row_ok & (li >= HALO) & (li < HALO + h_band)
                     ).astype(jnp.float32)[:, None, None]
         # zero phantom rows (beyond the image bottom they composite to
         # pure background, which must not reach the loss)
@@ -524,13 +532,14 @@ def build_sharded_train_step(cfg: ModelConfig, opt, mesh, height: int,
 
     def _strip_leaf(x):
         """(n_data, H, W, C) full images -> (n_data, n_model, Hp, W, C)
-        overlapping band+halo strips; rows outside the image are zero
+        overlapping band+halo strips (per-band starts support
+        load-balanced boundaries); rows outside the image are zero
         (the same padding the full-image SSIM window sees at the image
         border)."""
         Hp = layout.band_px + 2 * HALO
-        pad_bottom = n_model * layout.band_px + HALO - height
+        starts = jnp.asarray(layout.starts_px, jnp.int32)
+        pad_bottom = max(layout.starts_px[-1] + Hp - height - HALO, 0)
         xp = jnp.pad(x, ((0, 0), (HALO, pad_bottom), (0, 0), (0, 0)))
-        starts = jnp.arange(n_model) * layout.band_px
         return jax.vmap(
             lambda s: jax.lax.dynamic_slice_in_dim(xp, s, Hp, axis=1),
             out_axes=1)(starts)
@@ -568,7 +577,8 @@ _BAND_COUNTERS = {}
 
 def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
                        n_model: int, backend: str = "scan",
-                       add_prefilter: bool = True) -> jnp.ndarray:
+                       add_prefilter: bool = True,
+                       band_bounds=None) -> jnp.ndarray:
     """Max records any single (src anchor shard -> dst band) pair carries
     for this view — the quantity `band_cap` must cover. Runs the same
     decode -> pack -> band-span path as `band_loss_fn` on the full
@@ -581,11 +591,13 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
     exchange capacity. Jits internally per (cfg, resolution, n_model)."""
     import functools
 
-    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter)
+    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter,
+           band_bounds)
     if key not in _BAND_COUNTERS:
         width, height = cam.width, cam.height
         tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
-        layout = band_layout(height, width, n_model, tile_h)
+        layout = band_layout(height, width, n_model, tile_h,
+                             bounds=band_bounds)
         sh_deg = cfg.max_sh_degree if cfg.color_attr != "RGB" else None
 
         @functools.partial(jax.jit, static_argnames=("uid",))
@@ -639,16 +651,77 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
     return jnp.max(m)
 
 
+_ROW_COUNTERS = {}
+
+
+def count_view_row_loads(cam: Camera, cfg: ModelConfig, mlps, state,
+                         backend: str = "scan",
+                         add_prefilter: bool = True) -> jnp.ndarray:
+    """Per-tile-row routed-record loads for this view — the same
+    decode -> pack path as `count_band_records`, reduced to tile-row
+    granularity (`tile_exchange.count_tile_row_loads`). Feed the sum
+    over sample views to `tile_exchange.suggest_band_bounds` to get
+    load-balanced band boundaries."""
+    import functools
+    from horizongs_tpu.parallel.tile_exchange import count_tile_row_loads
+
+    key = (cfg, cam.width, cam.height, backend, add_prefilter)
+    if key not in _ROW_COUNTERS:
+        width, height = cam.width, cam.height
+        tile_w, tile_h = backend_tile_shape(cfg.gs_attr, backend)
+        n_tiles_y = -(-height // tile_h)
+        sh_deg = cfg.max_sh_degree if cfg.color_attr != "RGB" else None
+
+        @functools.partial(jax.jit, static_argnames=("uid",))
+        def counter(viewmat, K, cam_center, res_scale, uid, mlps, state):
+            camera = Camera(viewmat=viewmat, K=K, width=width,
+                            height=height, cam_center=cam_center,
+                            uid=uid, resolution_scale=res_scale)
+            amask, smooth = anchor_lod_mask(cfg, state, cam_center,
+                                            res_scale)
+            if add_prefilter:
+                amask = prefilter_anchors(cfg, state, camera, amask)
+            dec = decode_neural_gaussians(cfg, mlps, state, cam_center,
+                                          amask, smooth,
+                                          appearance_id=jnp.asarray(uid))
+            if cfg.color_attr != "RGB":
+                colors = dec.colors.reshape(-1, cfg.color_dim // 3, 3)
+            else:
+                colors = dec.colors
+            if cfg.gs_attr == "2D":
+                fields, bin_radii, _depths, _ = pack_fields_2dgs(
+                    dec.means, dec.quats, dec.scales, dec.opacities,
+                    colors, viewmat, K, width, height, sh_degree=sh_deg)
+                my, ry = fields[:, 10], bin_radii
+            else:
+                fields, bin_radii, proj = pack_fields_3dgs(
+                    dec.means, dec.quats, dec.scales, dec.opacities,
+                    colors, viewmat, K, width, height, sh_degree=sh_deg)
+                _, e_ry, _ = ellipse_extents(proj.conics, dec.opacities)
+                my = fields[:, 1]
+                ry = jnp.where(bin_radii > 0, e_ry, 0.0)
+            return count_tile_row_loads(my, ry, bin_radii > 0,
+                                        n_tiles_y, tile_h)
+
+        _ROW_COUNTERS[key] = counter
+    return _ROW_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
+                              cam.resolution_scale, int(cam.uid),
+                              mlps, state)
+
+
 def count_band_matrix(cam: Camera, cfg: ModelConfig, mlps, state,
                       n_model: int, backend: str = "scan",
-                      add_prefilter: bool = True) -> jnp.ndarray:
+                      add_prefilter: bool = True,
+                      band_bounds=None) -> jnp.ndarray:
     """Full (src shard, dst band) routed-record matrix for this view —
     the load-balance diagnostic behind `count_band_records` (which is
     its max element). Column sums are each band's total composite load;
     their spread is the band imbalance a synchronous step waits on."""
     count_band_records(cam, cfg, mlps, state, n_model, backend=backend,
-                       add_prefilter=add_prefilter)   # ensure cached
-    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter)
+                       add_prefilter=add_prefilter,
+                       band_bounds=band_bounds)   # ensure cached
+    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter,
+           band_bounds)
     return _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
                                cam.resolution_scale, int(cam.uid),
                                mlps, state)

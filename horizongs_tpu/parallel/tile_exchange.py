@@ -32,22 +32,54 @@ import jax.numpy as jnp
 class BandLayout(NamedTuple):
     n_model: int
     tile_h: int
-    band_rows: int    # tile rows per band
+    band_rows: int    # tile rows of the TALLEST band (static shapes)
     n_tiles_y: int    # real tile rows in the full image
     height: int       # full image height (pixels)
     width: int
+    # band boundaries in tile-row units, len n_model+1, bounds[0] = 0,
+    # bounds[-1] >= n_tiles_y. Uniform by default; `suggest_band_bounds`
+    # produces load-balanced ones (street views concentrate splats near
+    # the horizon — contiguous uniform bands there skew 1.5-1.8x,
+    # SCALING.json load_imbalance)
+    bounds: tuple = ()
 
     @property
     def band_px(self) -> int:
+        """Pixel height of the tallest band — the static composite
+        height every device uses (shorter bands mask their tail)."""
         return self.band_rows * self.tile_h
+
+    @property
+    def starts_px(self) -> tuple:
+        return tuple(b * self.tile_h for b in self.bounds[:-1])
+
+    @property
+    def heights_px(self) -> tuple:
+        return tuple((b1 - b0) * self.tile_h
+                     for b0, b1 in zip(self.bounds[:-1], self.bounds[1:]))
 
 
 def band_layout(height: int, width: int, n_model: int,
-                tile_h: int) -> BandLayout:
+                tile_h: int, bounds=None) -> BandLayout:
     n_tiles_y = -(-height // tile_h)
-    band_rows = -(-n_tiles_y // n_model)
+    if bounds is None:
+        # uniform: every band spans the same tile-row count (trailing
+        # bands may be phantom past the image bottom)
+        rows = -(-n_tiles_y // n_model)
+        bounds = tuple(m * rows for m in range(n_model + 1))
+    bounds = tuple(int(b) for b in bounds)
+    if len(bounds) != n_model + 1 or bounds[0] != 0:
+        raise ValueError(f"bounds must be n_model+1 tile-row offsets "
+                         f"starting at 0, got {bounds}")
+    if any(b1 <= b0 for b0, b1 in zip(bounds[:-1], bounds[1:])):
+        raise ValueError(f"bounds must be strictly increasing: {bounds}")
+    if bounds[-1] < n_tiles_y:
+        raise ValueError(f"bounds {bounds} do not cover the image's "
+                         f"{n_tiles_y} tile rows")
+    band_rows = max(b1 - b0 for b0, b1 in zip(bounds[:-1], bounds[1:]))
     return BandLayout(n_model=n_model, tile_h=tile_h, band_rows=band_rows,
-                      n_tiles_y=n_tiles_y, height=height, width=width)
+                      n_tiles_y=n_tiles_y, height=height, width=width,
+                      bounds=bounds)
 
 
 def band_span(means2d_y: jnp.ndarray, ry: jnp.ndarray,
@@ -59,19 +91,22 @@ def band_span(means2d_y: jnp.ndarray, ry: jnp.ndarray,
     both sides — a splat is then routed to every band whose EXTENDED
     range it touches, so each device can composite its band plus halo
     rows locally, identical to the neighbor's composite of those rows
-    (this removes the post-composite halo ppermute entirely)."""
-    if halo_px:
-        band_px = layout.band_px
-        b0 = jnp.floor((means2d_y - ry - halo_px) / band_px)
-        b1 = jnp.floor((means2d_y + ry + halo_px) / band_px)
-        b0 = jnp.clip(b0, 0, layout.n_model - 1).astype(jnp.int32)
-        b1 = jnp.clip(b1, 0, layout.n_model - 1).astype(jnp.int32)
-        return b0, b1
-    ty0 = jnp.floor((means2d_y - ry) / layout.tile_h).astype(jnp.int32)
-    ty1 = jnp.floor((means2d_y + ry) / layout.tile_h).astype(jnp.int32)
-    ty0 = jnp.clip(ty0, 0, layout.n_tiles_y - 1)
-    ty1 = jnp.clip(ty1, 0, layout.n_tiles_y - 1)
-    return ty0 // layout.band_rows, ty1 // layout.band_rows
+    (this removes the post-composite halo ppermute entirely).
+
+    Works for arbitrary (load-balanced) boundaries: band_of(q) is the
+    band whose pixel range contains q, computed as a sum of comparisons
+    against the n_model-1 interior boundaries (bands align to tile rows,
+    so this equals the historical tile-quantized uniform formula)."""
+    starts = [b * layout.tile_h for b in layout.bounds[1:-1]]
+    lo = means2d_y - ry - halo_px
+    hi = means2d_y + ry + halo_px
+    if not starts:
+        z = jnp.zeros(means2d_y.shape, jnp.int32)
+        return z, z
+    sb = jnp.asarray(starts, means2d_y.dtype)
+    b0 = jnp.sum(lo[:, None] >= sb[None, :], axis=1).astype(jnp.int32)
+    b1 = jnp.sum(hi[:, None] >= sb[None, :], axis=1).astype(jnp.int32)
+    return b0, b1
 
 
 def route_records(records: jnp.ndarray, means2d_y: jnp.ndarray,
@@ -156,6 +191,56 @@ def count_routed_records(means2d_y: jnp.ndarray, ry: jnp.ndarray,
     dests = jnp.arange(layout.n_model, dtype=jnp.int32)[:, None]
     mask = valid[None, :] & (b0[None, :] <= dests) & (dests <= b1[None, :])
     return jnp.max(jnp.sum(mask, axis=1))
+
+
+def count_tile_row_loads(means2d_y: jnp.ndarray, ry: jnp.ndarray,
+                         valid: jnp.ndarray, n_tiles_y: int,
+                         tile_h: int) -> jnp.ndarray:
+    """Records whose vertical extent touches each tile row — the load
+    profile `suggest_band_bounds` balances over. Jittable, O(K) per
+    row (n_tiles_y is small: 34 at 1080p/32px tiles)."""
+    ty0 = jnp.clip(jnp.floor((means2d_y - ry) / tile_h), 0,
+                   n_tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((means2d_y + ry) / tile_h), 0,
+                   n_tiles_y - 1).astype(jnp.int32)
+    rows = jnp.arange(n_tiles_y, dtype=jnp.int32)[:, None]
+    touch = (valid[None, :] & (ty0[None, :] <= rows)
+             & (rows <= ty1[None, :]))
+    return jnp.sum(touch, axis=1)
+
+
+def suggest_band_bounds(row_loads, n_model: int) -> tuple:
+    """Load-balanced band boundaries (tile-row units, len n_model+1)
+    from a per-tile-row record-load profile: cut the cumulative load at
+    equal quantiles, each band keeping >= 1 tile row. On street-like
+    views splats pile up near the horizon and uniform contiguous bands
+    skew 1.5-1.8x worst/mean (SCALING.json load_imbalance) — the
+    synchronous step waits on the slowest band, so balanced cuts buy
+    that factor back. Boundaries feed `band_layout(bounds=...)`;
+    changing them recompiles the step (quantized to tile rows, so they
+    are stable across minor load drift)."""
+    import numpy as np
+    loads = np.asarray(row_loads, np.float64)
+    n_rows = len(loads)
+    cdf = np.concatenate([[0.0], np.cumsum(loads)])
+    total = max(cdf[-1], 1.0)
+    bounds = [0]
+    for m in range(1, n_model):
+        target = total * m / n_model
+        # NEAREST boundary to the quantile (a plain left-search lumps a
+        # whole spike row into the band before the cut)
+        i = int(np.searchsorted(cdf, target, side="left"))
+        i = min(i, n_rows)
+        if i > 0 and target - cdf[i - 1] <= cdf[i] - target:
+            i -= 1
+        # strictly increasing; prefer staying inside the image but fall
+        # back to phantom rows past the bottom when n_rows < n_model
+        b = max(i, bounds[-1] + 1)
+        if b > n_rows - (n_model - m) and n_rows - (n_model - m) > bounds[-1]:
+            b = n_rows - (n_model - m)
+        bounds.append(b)
+    bounds.append(max(n_rows, bounds[-1] + 1))
+    return tuple(bounds)
 
 
 def suggest_band_cap(n_records: int, margin: float = 1.25,

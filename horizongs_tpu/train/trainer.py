@@ -53,7 +53,8 @@ class Trainer:
                  tb_writer=None,
                  profile_steps: Optional[tuple] = None,
                  mesh=None, band_cap: Optional[int] = None,
-                 checkpoint_format: str = "npz"):
+                 checkpoint_format: str = "npz",
+                 balanced_bands: bool = False):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -72,6 +73,11 @@ class Trainer:
         # driver `train.py:83-285` at N devices)
         self.mesh = mesh
         self.band_cap = band_cap
+        # load-balanced band boundaries: cut the image's tile rows at
+        # equal routed-record quantiles instead of uniformly (street
+        # views skew uniform bands 1.5-1.8x worst/mean; the synchronous
+        # step waits on the slowest band — SCALING.json load_imbalance)
+        self.balanced_bands = balanced_bands
         # "npz": host-gathered single-file capture (portable, resumable
         # on any topology). "sharded": orbax directory — every device
         # writes its own shards, no host gather; the city-scale format
@@ -174,7 +180,38 @@ class Trainer:
             n = -(-n // self.mesh.shape["model"])
         return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
-    def _calibrate_band_cap(self, H, W, samples: int = 6):
+    def _calibrate_band_bounds(self, H, W, samples: int = 6):
+        """Load-balanced band boundaries for (H, W): per-tile-row
+        routed-record loads summed over sample train views, cut at equal
+        quantiles (`suggest_band_bounds`). None = uniform."""
+        if (not self.balanced_bands or self.mesh is None
+                or self.mesh.shape["model"] == 1):
+            return None
+        from horizongs_tpu.parallel.step import (
+            _rasterizer_backend, count_view_row_loads)
+        from horizongs_tpu.parallel.tile_exchange import \
+            suggest_band_bounds
+        cams = [c for c in self.scene.get_train_cameras()
+                if (c.height, c.width) == (H, W)]
+        if not cams:
+            return None
+        cams = cams[:: max(len(cams) // samples, 1)][:samples]
+        st = self._host_state()
+        from horizongs_tpu.train.optim import mlps_from_params
+        mlps = mlps_from_params(st.params)
+        astate = st.anchor_state()
+        backend = _rasterizer_backend(
+            "tiled" if self.rasterizer == "dense" else self.rasterizer)
+        loads = sum(np.asarray(count_view_row_loads(
+            c, self.cfg, mlps, astate, backend=backend,
+            add_prefilter=self.add_prefilter)) for c in cams)
+        bounds = suggest_band_bounds(loads, self.mesh.shape["model"])
+        self.log(f"balanced band bounds for {W}x{H}: {bounds} "
+                 f"(tile rows)")
+        return bounds
+
+    def _calibrate_band_cap(self, H, W, samples: int = 6,
+                            band_bounds=None):
         """Calibrated per-(src shard, dst band) record capacity for the
         sharded step's band exchange: max measured routing over sample
         train views x margin, geometric bucket (`suggest_band_cap`).
@@ -201,7 +238,8 @@ class Trainer:
             "tiled" if self.rasterizer == "dense" else self.rasterizer)
         n = max(int(count_band_records(
                 c, self.cfg, mlps, astate, self.mesh.shape["model"],
-                backend=backend, add_prefilter=self.add_prefilter))
+                backend=backend, add_prefilter=self.add_prefilter,
+                band_bounds=band_bounds))
                 for c in cams)
         return suggest_band_cap(n, margin=self._band_margin[(H, W)])
 
@@ -282,7 +320,9 @@ class Trainer:
                 # the dense oracle has no record boundary to exchange
                 rast = ("tiled" if self.rasterizer == "dense"
                         else self.rasterizer)
-                band_cap = self._calibrate_band_cap(H, W)
+                band_bounds = self._calibrate_band_bounds(H, W)
+                band_cap = self._calibrate_band_cap(
+                    H, W, band_bounds=band_bounds)
                 if band_cap is not None:
                     self.log(f"band-exchange capacity for {W}x{H}: "
                              f"{band_cap}")
@@ -297,7 +337,7 @@ class Trainer:
                     active_sh_degree=self.active_sh_degree,
                     background=self.scene.background,
                     instance_cap=cap, shard_tiles=True,
-                    band_cap=band_cap)
+                    band_cap=band_cap, band_bounds=band_bounds)
         return self._steps[key]
 
     def _pick_camera(self, stacks):

@@ -551,3 +551,70 @@ def test_route_records_compaction():
     send1, dropped1 = route_records(records, my, ry, valid, layout,
                                     send_cap=1)
     assert int(dropped1) == 1
+
+
+def test_band_sharded_balanced_bounds_parity():
+    """Load-balanced (non-uniform) band boundaries reproduce the plain
+    single-device step exactly: 96x80 at model=3 with scan tiles
+    (n_tiles_y=5, tile_h=16) cut at bounds (0,1,3,5) — band heights
+    16/32/32 px, so shorter bands mask their composite tail and every
+    device's dy/interior comes from the per-band tables."""
+    Wo, Ho = 96, 80
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB+ED",
+                      voxel_size=0.1)
+    g = {k: jnp.asarray(v) for k, v in
+         random_gaussians(40, seed=3, extent=0.8,
+                          scale_range=(0.1, 0.25)).items()}
+    from horizongs_tpu.data.synthetic import lookat_camera
+    from horizongs_tpu.ops.reference import render_dense_3dgs
+    cam = lookat_camera(width=Wo, height=Ho, eye=(0, 0, -3.2))
+    img, _, _ = jax.jit(lambda vm, K: render_dense_3dgs(
+        g["means"], g["quats"], g["scales"], g["opacities"], g["colors"],
+        vm, K, Wo, Ho, jnp.zeros(3)))(cam.viewmat, cam.K)
+    cam = cam._replace(image=img, alpha_mask=jnp.ones((Ho, Wo, 1)))
+    opt = make_optim(start_stat=0)
+    ts = _state(cfg, np.asarray(g["means"]), capacity=258)
+
+    step1 = build_train_step(cfg, opt, Ho, Wo, add_prefilter=False,
+                             rasterizer="tiled")
+    ref_state, ref_metrics = step1(jax.tree.map(jnp.copy, ts),
+                                   camera_tensors(cam, do_stats=True), 1)
+
+    mesh = make_mesh(data=1, model=3, devices=jax.devices()[:3])
+    stepN = build_sharded_train_step(cfg, opt, mesh, Ho, Wo,
+                                     add_prefilter=False,
+                                     shard_tiles=True,
+                                     band_bounds=(0, 1, 3, 5))
+    new_state, m = stepN(shard_state(jax.tree.map(jnp.copy, ts), mesh),
+                         _stack_cams([cam]), 1)
+    assert float(m["loss"]) == pytest.approx(float(ref_metrics["loss"]),
+                                             rel=1e-5)
+    assert int(m["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(new_state.params.anchor),
+                               np.asarray(ref_state.params.anchor),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.stats.offset_gradient_accum),
+        np.asarray(ref_state.stats.offset_gradient_accum), atol=1e-6)
+
+
+def test_suggest_band_bounds_balances_loads():
+    """Quantile cuts equalize a horizon-peaked load profile; uniform
+    bounds on the same profile are heavily skewed."""
+    from horizongs_tpu.parallel.tile_exchange import suggest_band_bounds
+    rows = 32
+    loads = np.ones(rows)
+    loads[12:16] = 40.0            # horizon spike
+    bounds = suggest_band_bounds(loads, 4)
+    assert bounds[0] == 0 and bounds[-1] >= rows and len(bounds) == 5
+    assert all(b1 > b0 for b0, b1 in zip(bounds[:-1], bounds[1:]))
+    per_band = [loads[b0:b1].sum() for b0, b1 in
+                zip(bounds[:-1], bounds[1:])]
+    worst_bal = max(per_band) / (sum(per_band) / 4)
+    uni = [loads[m * 8:(m + 1) * 8].sum() for m in range(4)]
+    worst_uni = max(uni) / (sum(uni) / 4)
+    assert worst_bal < 1.35 < worst_uni
+    # degenerate: fewer rows than bands still yields valid phantom cuts
+    b2 = suggest_band_bounds(np.ones(2), 4)
+    assert len(b2) == 5 and all(y > x for x, y in zip(b2[:-1], b2[1:]))

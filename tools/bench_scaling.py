@@ -452,24 +452,40 @@ def run_imbalance(args) -> dict:
           f"mean={inst.mean():.0f} max={inst.max():.0f} "
           f"worst/mean={view_stats['worst_over_mean']:.2f}")
 
+    from horizongs_tpu.parallel.step import count_view_row_loads
+    from horizongs_tpu.parallel.tile_exchange import suggest_band_bounds
+    row_loads = sum(np.asarray(count_view_row_loads(
+        c, cfg, mlps, astate, backend="pallas", add_prefilter=False))
+        for c in cams)
+
     band_stats = {}
     for n_m in (2, 4, 8):
-        loads = []
-        for c in cams:
-            m = np.asarray(count_band_matrix(
-                c, cfg, mlps, astate, n_m, backend="pallas",
-                add_prefilter=False))
-            loads.append(m.sum(axis=0))          # per-band total records
-        loads = np.asarray(loads, np.float64)    # (views, n_m)
-        worst = (loads.max(axis=1) / np.maximum(
-            loads.mean(axis=1), 1.0))
+        bounds = suggest_band_bounds(row_loads, n_m)
+
+        def _worst(bnds):
+            loads = []
+            for c in cams:
+                m = np.asarray(count_band_matrix(
+                    c, cfg, mlps, astate, n_m, backend="pallas",
+                    add_prefilter=False, band_bounds=bnds))
+                loads.append(m.sum(axis=0))      # per-band total records
+            loads = np.asarray(loads, np.float64)
+            return loads, (loads.max(axis=1)
+                           / np.maximum(loads.mean(axis=1), 1.0))
+
+        loads_u, worst_u = _worst(None)
+        loads_b, worst_b = _worst(bounds)
         band_stats[str(n_m)] = {
-            "per_view_band_loads": loads.astype(int).tolist(),
-            "worst_over_mean_per_view": worst.round(3).tolist(),
-            "worst_over_mean_max": float(worst.max()),
+            "per_view_band_loads": loads_u.astype(int).tolist(),
+            "worst_over_mean_per_view": worst_u.round(3).tolist(),
+            "worst_over_mean_max": float(worst_u.max()),
+            "balanced_bounds": list(bounds),
+            "balanced_worst_over_mean_per_view": worst_b.round(3).tolist(),
+            "balanced_worst_over_mean_max": float(worst_b.max()),
         }
-        print(f"band imbalance n_model={n_m}: worst/mean per view "
-              f"{worst.round(2).tolist()} (max {worst.max():.2f})")
+        print(f"band imbalance n_model={n_m}: uniform worst/mean max "
+              f"{worst_u.max():.2f} -> balanced {worst_b.max():.2f} "
+              f"(bounds {bounds})")
     return {"width": W, "height": H, "n_anchors": int(ts.n),
             "views": args.views,
             "dp_view_imbalance": view_stats,
