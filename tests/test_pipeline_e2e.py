@@ -216,10 +216,11 @@ def test_train_cli_mesh(dataset, tmp_path):
         results = json.load(f)["ours_60"]
     # same bar as the single-device CLI e2e (test_train_render_cli)
     assert results["all"]["PSNR"] > 20.0
-    # the saved checkpoint is host-replicated and resumable single-device
-    assert os.path.exists(os.path.join(out, "chkpnt60.npz"))
+    # mesh runs default to the orbax sharded format (r4); the sharded
+    # directory resumes across topologies — here into a single-device run
+    ckpt = os.path.join(out, "chkpnt60_sharded")
+    assert os.path.isdir(ckpt)
     rc = train_main(["--config", cfg_path, "--model_path", out,
                      "--rasterizer", "tiled", "--iterations", "65",
-                     "--start_checkpoint",
-                     os.path.join(out, "chkpnt60.npz")])
+                     "--start_checkpoint", ckpt])
     assert rc == 0
