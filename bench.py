@@ -97,12 +97,40 @@ def main():
     rays_per_sec = RAYS / dt
     metric = ("rays_per_sec_fwd_bwd_1080p" if on_tpu
               else "rays_per_sec_fwd_bwd_256x144_cpu_fallback")
+
+    # forward-only render FPS (the serving path; the reference times
+    # per-view render latency with cuda events, train.py:409-413)
+    if on_tpu:
+        def render_only(m, chain):
+            r, _, _ = rasterize_pallas_3dgs(
+                m + chain * 0.0, g["quats"], g["scales"], g["opacities"],
+                g["colors"], cam.viewmat, cam.K, W, H, bg,
+                render_mode="RGB+ED", cap=cap)
+            return r, r[0, 0, 0]
+    else:
+        def render_only(m, chain):
+            r, _, _ = rasterize_tiled_3dgs(
+                m + chain * 0.0, g["quats"], g["scales"], g["opacities"],
+                g["colors"], cam.viewmat, cam.K, W, H, bg,
+                render_mode="RGB+ED", chunk=512)
+            return r, r[0, 0, 0]
+
+    rstep = jax.jit(render_only)
+    r, rchain = rstep(g["means"], jnp.float32(0))
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r, rchain = rstep(g["means"], rchain)
+    jax.block_until_ready(r)
+    render_fps = 1.0 / ((time.time() - t0) / iters)
+
     full = full_train_step(on_tpu)
     print(json.dumps({
         "metric": metric,
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 2_073_600, 3),
+        "render_fps_fwd_only": round(render_fps, 1),
         **full,
     }))
 
