@@ -618,3 +618,16 @@ def test_suggest_band_bounds_balances_loads():
     # degenerate: fewer rows than bands still yields valid phantom cuts
     b2 = suggest_band_bounds(np.ones(2), 4)
     assert len(b2) == 5 and all(y > x for x, y in zip(b2[:-1], b2[1:]))
+
+
+def test_count_tile_row_loads():
+    """Unit: per-tile-row touch counts match the AABB span rule that
+    routing uses (the profile suggest_band_bounds balances over)."""
+    from horizongs_tpu.parallel.tile_exchange import count_tile_row_loads
+    my = jnp.asarray([8.0, 24.0, 30.0, 100.0])
+    ry = jnp.asarray([2.0, 2.0, 12.0, 2.0])
+    valid = jnp.asarray([True, True, True, False])
+    # tile_h=16, 4 rows: splat0 -> row 0; splat1 -> row 1;
+    # splat2 spans rows 1-2; splat3 invalid
+    loads = np.asarray(count_tile_row_loads(my, ry, valid, 4, 16))
+    np.testing.assert_array_equal(loads, [1, 2, 1, 0])
