@@ -100,7 +100,19 @@ def main(argv=None):
         op.iterations = args.iterations
     logger = get_logger("train", lp.model_path)
     os.makedirs(lp.model_path, exist_ok=True)
-    shutil.copy(args.config, os.path.join(lp.model_path, "config.yaml"))
+    # save the RESOLVED config, not a raw copy: CLI overrides
+    # (--source_path, --iterations, the explicit --model_path) must be
+    # visible to the downstream CLIs (render/metrics/export_mesh), which
+    # reload <model_path>/config.yaml to reconstruct this run
+    import yaml
+    from horizongs_tpu.config import load_yaml
+    raw = load_yaml(args.config)
+    raw.setdefault("model_params", {})["source_path"] = lp.source_path
+    raw["model_params"]["model_path"] = lp.model_path
+    if args.iterations is not None:
+        raw.setdefault("optim_params", {})["iterations"] = op.iterations
+    with open(os.path.join(lp.model_path, "config.yaml"), "w") as f:
+        yaml.safe_dump(raw, f, sort_keys=False)
     with open(os.path.join(lp.model_path, "cfg_args"), "w") as f:
         f.write(str(vars(lp)))
     # source snapshot for post-hoc debugging (`saveRuntimeCode`,

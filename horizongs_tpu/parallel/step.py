@@ -589,6 +589,20 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
     `tile_exchange.suggest_band_cap` — the exact analog of
     `render.count_render_instances` + `suggest_instance_cap` for the
     exchange capacity. Jits internally per (cfg, resolution, n_model)."""
+    return jnp.max(count_band_matrix(cam, cfg, mlps, state, n_model,
+                                     backend=backend,
+                                     add_prefilter=add_prefilter,
+                                     band_bounds=band_bounds))
+
+
+def count_band_matrix(cam: Camera, cfg: ModelConfig, mlps, state,
+                      n_model: int, backend: str = "scan",
+                      add_prefilter: bool = True,
+                      band_bounds=None) -> jnp.ndarray:
+    """Full (src shard, dst band) routed-record matrix for this view —
+    the load-balance diagnostic behind `count_band_records` (which is
+    its max element). Column sums are each band's total composite load;
+    their spread is the band imbalance a synchronous step waits on."""
     import functools
 
     key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter,
@@ -645,10 +659,9 @@ def count_band_records(cam: Camera, cfg: ModelConfig, mlps, state,
             return jnp.sum(per, axis=-1).T                # (src, dst)
 
         _BAND_COUNTERS[key] = counter
-    m = _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
-                            cam.resolution_scale, int(cam.uid),
-                            mlps, state)
-    return jnp.max(m)
+    return _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
+                               cam.resolution_scale, int(cam.uid),
+                               mlps, state)
 
 
 _ROW_COUNTERS = {}
@@ -709,19 +722,3 @@ def count_view_row_loads(cam: Camera, cfg: ModelConfig, mlps, state,
                               mlps, state)
 
 
-def count_band_matrix(cam: Camera, cfg: ModelConfig, mlps, state,
-                      n_model: int, backend: str = "scan",
-                      add_prefilter: bool = True,
-                      band_bounds=None) -> jnp.ndarray:
-    """Full (src shard, dst band) routed-record matrix for this view —
-    the load-balance diagnostic behind `count_band_records` (which is
-    its max element). Column sums are each band's total composite load;
-    their spread is the band imbalance a synchronous step waits on."""
-    count_band_records(cam, cfg, mlps, state, n_model, backend=backend,
-                       add_prefilter=add_prefilter,
-                       band_bounds=band_bounds)   # ensure cached
-    key = (cfg, cam.width, cam.height, n_model, backend, add_prefilter,
-           band_bounds)
-    return _BAND_COUNTERS[key](cam.viewmat, cam.K, cam.cam_center,
-                               cam.resolution_scale, int(cam.uid),
-                               mlps, state)

@@ -42,8 +42,10 @@ def pick_rasterizer(requested: str = "auto") -> str:
 
 
 class Trainer:
-    # recalibration-margin ceiling: 8x the 1.25 initial margin — past it
-    # the trainer stops growing capacities (and recompiling) and lets the
+    # recalibration-margin ceiling: growth stops once another 1.5x
+    # widening would exceed this (on the 1.25 * 1.5^k schedule the last
+    # margin actually reached is 9.49 = 7.6x initial); past it the
+    # trainer keeps the step (and stops recompiling) and lets the
     # counted overflow trimming handle the pathological view
     MARGIN_CEIL = 8 * 1.25
 
@@ -146,7 +148,23 @@ class Trainer:
         from horizongs_tpu.parallel.step import shard_state
         return shard_state(host_state, self.mesh)
 
-    def _calibrate_cap(self, H, W, samples: int = 6):
+    def _calib_views(self, H, W, samples: int = 6):
+        """Evenly-strided sample of train views at this resolution."""
+        cams = [c for c in self.scene.get_train_cameras()
+                if (c.height, c.width) == (H, W)]
+        return cams[:: max(len(cams) // samples, 1)][:samples]
+
+    def _calib_host_inputs(self):
+        """(mlps, anchor_state) on the host for capacity calibration —
+        ONE device->host gather, shared by all calibrators of a step
+        build (at city scale `unshard_state` is a multi-GB transfer;
+        `_step_fn` passes this to each `_calibrate_*` so a rebuild pays
+        it once, not three times)."""
+        from horizongs_tpu.train.optim import mlps_from_params
+        st = self._host_state()
+        return mlps_from_params(st.params), st.anchor_state()
+
+    def _calibrate_cap(self, H, W, samples: int = 6, host=None):
         """Calibrated tile-instance capacity for (H, W): max measured
         count over sample train views x margin, rounded to a geometric
         bucket (gsplat sizes its instance list exactly per frame; this
@@ -156,15 +174,11 @@ class Trainer:
             return None
         from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
         from horizongs_tpu.render import count_render_instances
-        from horizongs_tpu.train.optim import mlps_from_params
-        cams = [c for c in self.scene.get_train_cameras()
-                if (c.height, c.width) == (H, W)]
+        cams = self._calib_views(H, W, samples)
         if not cams:
             return None
-        cams = cams[:: max(len(cams) // samples, 1)][:samples]
-        st = self._host_state()
-        mlps = mlps_from_params(st.params)
-        astate = st.anchor_state()
+        mlps, astate = host if host is not None else \
+            self._calib_host_inputs()
         # count with the backend's OWN tile shape (scan tiles are 16x16,
         # Pallas 32x32 — a pallas-tile count under-sizes the scan cap 4x)
         backend = ("pallas" if self.rasterizer in
@@ -180,7 +194,7 @@ class Trainer:
             n = -(-n // self.mesh.shape["model"])
         return suggest_instance_cap(n, margin=self._cap_margin[(H, W)])
 
-    def _calibrate_band_bounds(self, H, W, samples: int = 6):
+    def _calibrate_band_bounds(self, H, W, samples: int = 6, host=None):
         """Load-balanced band boundaries for (H, W): per-tile-row
         routed-record loads summed over sample train views, cut at equal
         quantiles (`suggest_band_bounds`). None = uniform."""
@@ -191,15 +205,11 @@ class Trainer:
             _rasterizer_backend, count_view_row_loads)
         from horizongs_tpu.parallel.tile_exchange import \
             suggest_band_bounds
-        cams = [c for c in self.scene.get_train_cameras()
-                if (c.height, c.width) == (H, W)]
+        cams = self._calib_views(H, W, samples)
         if not cams:
             return None
-        cams = cams[:: max(len(cams) // samples, 1)][:samples]
-        st = self._host_state()
-        from horizongs_tpu.train.optim import mlps_from_params
-        mlps = mlps_from_params(st.params)
-        astate = st.anchor_state()
+        mlps, astate = host if host is not None else \
+            self._calib_host_inputs()
         backend = _rasterizer_backend(
             "tiled" if self.rasterizer == "dense" else self.rasterizer)
         loads = sum(np.asarray(count_view_row_loads(
@@ -211,7 +221,7 @@ class Trainer:
         return bounds
 
     def _calibrate_band_cap(self, H, W, samples: int = 6,
-                            band_bounds=None):
+                            band_bounds=None, host=None):
         """Calibrated per-(src shard, dst band) record capacity for the
         sharded step's band exchange: max measured routing over sample
         train views x margin, geometric bucket (`suggest_band_cap`).
@@ -225,15 +235,11 @@ class Trainer:
         from horizongs_tpu.parallel.step import (
             _rasterizer_backend, count_band_records)
         from horizongs_tpu.parallel.tile_exchange import suggest_band_cap
-        from horizongs_tpu.train.optim import mlps_from_params
-        cams = [c for c in self.scene.get_train_cameras()
-                if (c.height, c.width) == (H, W)]
+        cams = self._calib_views(H, W, samples)
         if not cams:
             return None
-        cams = cams[:: max(len(cams) // samples, 1)][:samples]
-        st = self._host_state()
-        mlps = mlps_from_params(st.params)
-        astate = st.anchor_state()
+        mlps, astate = host if host is not None else \
+            self._calib_host_inputs()
         backend = _rasterizer_backend(
             "tiled" if self.rasterizer == "dense" else self.rasterizer)
         n = max(int(count_band_records(
@@ -249,7 +255,8 @@ class Trainer:
         THE MATCHING margin for this resolution and rebuild only its step
         functions — overflow is counted, never silent, and an undersized
         band_cap recalibrates the exchange rather than looping on the
-        instance list. Margins are CAPPED at `MARGIN_CEIL` (8x initial):
+        instance list. Margin growth is CAPPED by `MARGIN_CEIL` (the
+        1.5x-per-overflow schedule stops at 9.49, 7.6x initial):
         without a ceiling a pathological view ratchets capacity 1.5x per
         overflow straight past HBM; at the ceiling the step is kept
         (overflow records keep being trimmed + counted) instead of
@@ -266,8 +273,8 @@ class Trainer:
             elif res not in self._margin_capped:
                 self._margin_capped.add(res)
                 self.log(f"[it {it}] instance-capacity margin for "
-                         f"{res[1]}x{res[0]} hit its "
-                         f"{self.MARGIN_CEIL:.1f} ceiling — keeping the "
+                         f"{res[1]}x{res[0]} ceiling (margin "
+                         f"{self._cap_margin[res]:.2f}) — keeping the "
                          f"step; overflow records will be trimmed "
                          f"(counted, not silent)")
         if d_exch > 0:
@@ -285,8 +292,8 @@ class Trainer:
             elif ("band", res) not in self._margin_capped:
                 self._margin_capped.add(("band", res))
                 self.log(f"[it {it}] band-capacity margin for "
-                         f"{res[1]}x{res[0]} hit its "
-                         f"{self.MARGIN_CEIL:.1f} ceiling — keeping the "
+                         f"{res[1]}x{res[0]} ceiling (margin "
+                         f"{self._band_margin[res]:.2f}) — keeping the "
                          f"step; overflow records will be trimmed "
                          f"(counted, not silent)")
         if widened:
@@ -298,7 +305,8 @@ class Trainer:
         key = (H, W, self.state.params.anchor.shape[0],
                self.active_sh_degree, self.add_prefilter)
         if key not in self._steps:
-            cap = self._calibrate_cap(H, W)
+            host = self._calib_host_inputs()
+            cap = self._calibrate_cap(H, W, host=host)
             if cap is not None:
                 self.log(f"instance capacity for {W}x{H}: {cap}")
             if self.mesh is None:
@@ -320,9 +328,9 @@ class Trainer:
                 # the dense oracle has no record boundary to exchange
                 rast = ("tiled" if self.rasterizer == "dense"
                         else self.rasterizer)
-                band_bounds = self._calibrate_band_bounds(H, W)
+                band_bounds = self._calibrate_band_bounds(H, W, host=host)
                 band_cap = self._calibrate_band_cap(
-                    H, W, band_bounds=band_bounds)
+                    H, W, band_bounds=band_bounds, host=host)
                 if band_cap is not None:
                     self.log(f"band-exchange capacity for {W}x{H}: "
                              f"{band_cap}")

@@ -61,3 +61,18 @@ def test_quickstart_trains_through_cli(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "point_cloud", "iteration_40",
                                        "point_cloud.ply"))
+
+    # the saved config.yaml must carry the RESOLVED paths (the CLI's
+    # --source_path/--model_path overrides, not the template defaults):
+    # render/metrics/export_mesh reload it to reconstruct the run
+    saved = _load(os.path.join(out, "config.yaml"))
+    assert saved["model_params"]["source_path"] == data
+    assert saved["model_params"]["model_path"] == out
+    assert saved["optim_params"]["iterations"] == 40
+
+    from horizongs_tpu.cli.render import main as render_main
+    rc = render_main(["--model_path", out, "--iteration", "40",
+                      "--skip_train", "--rasterizer", "tiled"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "test", "ours_40", "renders",
+                                       "00000.png"))

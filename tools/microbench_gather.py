@@ -48,8 +48,10 @@ def main():
     ap.add_argument("--n_tiles", type=int, default=2040)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
+    from horizongs_tpu.ops.binning import grad_capacity
+
     cap, N, n_tiles = args.cap, args.n, args.n_tiles
-    cap_out = cap + 2 * 128 * n_tiles
+    cap_out = grad_capacity(cap, n_tiles)   # incl. the sentinel block
 
     rng = np.random.default_rng(0)
     ginst_l = jnp.asarray(rng.normal(size=(10, cap_out)).astype(np.float32))

@@ -79,7 +79,7 @@ def main():
         grid.n_tiles_x, grid.n_tiles_y))
     ginst = timeit("pallas bwd", bwd_fn, inst_data, inst.tile_starts)
 
-    route_fn = jax.jit(lambda gi: _instance_grads_to_fields(gi, inst, ifin))
+    route_fn = jax.jit(lambda gi: _instance_grads_to_fields(gi, inst))
     timeit("grad routing", route_fn, ginst)
 
     def loss(m, s, o, c):
