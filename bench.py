@@ -124,15 +124,52 @@ def main():
     jax.block_until_ready(r)
     render_fps = 1.0 / ((time.time() - t0) / iters)
 
+    # 2DGS kernel pair (the surface-reconstruction path: normals +
+    # distortion + median depth, reference gsplat rasterization_2dgs)
+    # on the same scene — tracked so the second kernel family can't
+    # silently regress behind the 3DGS headline
+    rays_2d = None
+    if on_tpu:
+        from horizongs_tpu.ops.raster_pallas import (
+            count_instances_2dgs, rasterize_pallas_2dgs)
+        n2 = int(jax.jit(count_instances_2dgs,
+                         static_argnames=("width", "height"))(
+            g["means"], g["quats"], g["scales"], g["opacities"],
+            cam.viewmat, cam.K, width=W, height=H))
+        cap2 = -(-int(n2 * 1.02) // 128) * 128
+
+        def loss2(m, s, o, c):
+            r, _, nrm, _, dist, _, _ = rasterize_pallas_2dgs(
+                m, g["quats"], s, o, c, cam.viewmat, cam.K, W, H, bg,
+                render_mode="RGB+ED", cap=cap2)
+            return jnp.mean(r ** 2) + jnp.mean(nrm ** 2) + jnp.mean(dist)
+
+        def step2_fn(m, s, o, c, chain):
+            grads = jax.grad(loss2, argnums=(0, 1, 2, 3))(
+                m + chain * 0.0, s, o, c)
+            return grads, grads[0][0, 0]
+
+        step2 = jax.jit(step2_fn)
+        out2, chain2 = step2(*args, jnp.float32(0))
+        jax.block_until_ready(out2)
+        t0 = time.time()
+        for _ in range(iters):
+            out2, chain2 = step2(*args, chain2)
+        jax.block_until_ready(out2)
+        rays_2d = RAYS / ((time.time() - t0) / iters)
+
     full = full_train_step(on_tpu)
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 2_073_600, 3),
         "render_fps_fwd_only": round(render_fps, 1),
         **full,
-    }))
+    }
+    if rays_2d is not None:
+        line["rays_per_sec_2dgs_fwd_bwd"] = round(rays_2d)
+    print(json.dumps(line))
 
 
 def full_train_step(on_tpu: bool) -> dict:
