@@ -69,7 +69,14 @@ def main():
     acc, logT2 = timeit("pallas fwd", fwd_fn, inst_data, inst.tile_starts)
     ifin = (logT2[:, 1, 0]).astype(jnp.int32)
     import numpy as _np
-    print(f"   chunks: total={int(jnp.sum((inst.tile_starts[1:]-inst.tile_starts[:-1]+127)//128))} live={int(jnp.sum(ifin))}")
+    # chunk count must match the kernel's floor-aligned walk:
+    # n_chunks_t = ceil((lead_t + count_t)/G), lead_t = start_t mod G
+    starts = inst.tile_starts[:-1]
+    counts = inst.tile_starts[1:] - starts
+    lead = starts % 128
+    n_chunks = jnp.where(counts > 0, (lead + counts + 127) // 128, 0)
+    print(f"   chunks: total={int(jnp.sum(n_chunks))} "
+          f"live={int(jnp.sum(ifin))}")
 
     d_acc = jnp.ones_like(acc)
     d_logT = jnp.zeros((logT2.shape[0], 1, logT2.shape[2]))
