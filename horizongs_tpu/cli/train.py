@@ -172,39 +172,10 @@ def main(argv=None):
     save_iters.add(iterations)
     first_iter = 1
     if args.start_checkpoint:
-        if os.path.isdir(args.start_checkpoint):
-            # orbax sharded checkpoint dir: restore straight into the
-            # current (possibly sharded) placement — no host gather.
-            # Capacity-adaptive: the restore comes back at the STORED
-            # capacity (resume after densify growth); re-pad only if it
-            # no longer divides the mesh's model axis.
-            from horizongs_tpu.io.checkpoints import (
-                load_sharded_checkpoint)
-            trainer.state, ckpt_it = load_sharded_checkpoint(
-                args.start_checkpoint, trainer.state)
-            C = int(trainer.state.params.anchor.shape[0])
-            n_model = mesh.shape["model"] if mesh is not None else 1
-            if C % n_model:
-                from horizongs_tpu.train.densify import pad_state_capacity
-                host = trainer._host_state()
-                host = pad_state_capacity(host, -(-C // n_model) * n_model)
-                trainer.state = trainer._place_state(host)
-                logger.info(f"re-padded restored capacity {C} -> "
-                            f"{int(trainer.state.params.anchor.shape[0])} "
-                            f"(divisible by model={n_model})")
-        else:
-            from horizongs_tpu.io.checkpoints import load_train_checkpoint
-            host, ckpt_it = load_train_checkpoint(
-                args.start_checkpoint, trainer._host_state())
-            if mesh is not None:
-                n_model = mesh.shape["model"]
-                C = int(host.params.anchor.shape[0])
-                if C % n_model:
-                    from horizongs_tpu.train.densify import (
-                        pad_state_capacity)
-                    host = pad_state_capacity(host,
-                                              -(-C // n_model) * n_model)
-            trainer.state = trainer._place_state(host)
+        # Trainer.restore owns format dispatch (orbax sharded dir vs
+        # npz file) and the mesh-divisibility capacity re-pad, so every
+        # resume path — not just this CLI — gets both
+        ckpt_it = trainer.restore(args.start_checkpoint)
         first_iter = ckpt_it + 1
         logger.info(f"Resumed from {args.start_checkpoint} "
                     f"at iteration {ckpt_it}")

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from horizongs_tpu.ops.pallas.raster3d import (
-    dot_f32, lane_prefix_excl, lane_suffix_incl)
+    dot_f32, lane_prefix_excl, lane_suffix_incl, zero_dead_grad_columns)
 
 INST_DIM = 24
 AUX_DIM = 8
@@ -296,44 +296,10 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
 
     # ZERO phase: never-composited chunks + (last grid step) the
     # sentinel block — dead columns read as exact zeros so the
-    # wrapper's un-sort gather needs no runtime live mask (see
-    # raster3d._bwd_kernel for rationale)
-    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
-    n_z = n_chunks - n_live
-    cap_out = ginst_ref.shape[1]
-    is_last = pl.program_id(0) == pl.num_programs(0) - 1
-    n_zt = n_z + jnp.where(is_last, 1, 0)
-
-    def zcol(i):
-        return jnp.where(i < n_z, out0 + (n_live + i) * G, cap_out - G)
-
-    def zdma(col, slot):
-        off = pl.multiple_of(col, G)
-        return pltpu.make_async_copy(
-            gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
-
-    @pl.when(n_zt > 0)
-    def _():
-        gbuf[0] = jnp.zeros((INST_DIM, G), F32)
-        gbuf[1] = jnp.zeros((INST_DIM, G), F32)
-
-        def zbody(i, c):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i >= 2)
-            def _():
-                zdma(zcol(i - 2), slot).wait()
-
-            zdma(zcol(i), slot).start()
-            return c
-
-        jax.lax.fori_loop(0, n_zt, zbody, 0)
-
-        @pl.when(n_zt > 1)
-        def _():
-            zdma(zcol(n_zt - 2), jax.lax.rem(n_zt - 2, 2)).wait()
-
-        zdma(zcol(n_zt - 1), jax.lax.rem(n_zt - 1, 2)).wait()
+    # wrapper's un-sort gather needs no runtime live mask (shared with
+    # the 3DGS backward; rationale on the helper)
+    zero_dead_grad_columns(count, lead, n_live, out0, gbuf, ginst_ref,
+                           wsem)
 
     @pl.when(n_live > 0)
     def _():

@@ -301,6 +301,61 @@ def rasterize_fwd(inst_data: jnp.ndarray, tile_starts: jnp.ndarray,
 # backward
 # ---------------------------------------------------------------------------
 
+def zero_dead_grad_columns(count, lead, n_live, out0, gbuf, ginst_ref,
+                           wsem):
+    """Backward-kernel ZERO phase, shared by the 3DGS and 2DGS kernels
+    (they must stay byte-identical — `_instance_grads_to_fields` relies
+    on this sentinel contract with no runtime mask): chunks the forward
+    never composited ([n_live, n_chunks) — the saturation early-exit)
+    get explicit zero gradient columns, and the LAST grid step also
+    zeroes the sentinel block (the final G buffer columns, where binning
+    routes every invalid slot). Dead columns reading as exact zeros lets
+    the wrapper's un-sort gather drop its runtime live mask — the
+    per-slot ifin[slot_tile] gather it replaces cost 5.8 ms/step at
+    1080p (r4 device trace), a third of the 3DGS backward's own time;
+    the zero writes are pure DMA on columns the walk never touches.
+    All zdma writes are waited before returning, so the caller's reverse
+    walk may immediately reuse `gbuf`/`wsem`. Field count and chunk size
+    come from `gbuf`'s (2, inst_dim, G) shape."""
+    inst_dim, g = gbuf.shape[1], gbuf.shape[2]
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
+    n_z = n_chunks - n_live
+    cap_out = ginst_ref.shape[1]
+    is_last = pl.program_id(0) == pl.num_programs(0) - 1
+    n_zt = n_z + jnp.where(is_last, 1, 0)
+
+    def zcol(i):
+        return jnp.where(i < n_z, out0 + (n_live + i) * g, cap_out - g)
+
+    def zdma(col, slot):
+        off = pl.multiple_of(col, g)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], ginst_ref.at[:, pl.ds(off, g)], wsem.at[slot])
+
+    @pl.when(n_zt > 0)
+    def _():
+        gbuf[0] = jnp.zeros((inst_dim, g), F32)
+        gbuf[1] = jnp.zeros((inst_dim, g), F32)
+
+        def zbody(i, c):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                zdma(zcol(i - 2), slot).wait()
+
+            zdma(zcol(i), slot).start()
+            return c
+
+        jax.lax.fori_loop(0, n_zt, zbody, 0)
+
+        @pl.when(n_zt > 1)
+        def _():
+            zdma(zcol(n_zt - 2), jax.lax.rem(n_zt - 2, 2)).wait()
+
+        zdma(zcol(n_zt - 1), jax.lax.rem(n_zt - 1, 2)).wait()
+
+
 def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
                 dlogT_ref, logT_final_ref, ginst_ref, buf, gbuf,
                 sem, wsem, *, n_tiles_x):
@@ -338,51 +393,8 @@ def _bwd_kernel(tile_starts, out_starts, ifin, inst_hbm, dacc_ref,
         return pltpu.make_async_copy(
             gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
 
-    # ZERO phase first: chunks the forward never composited
-    # ([n_live, n_chunks) — the saturation early-exit) get explicit
-    # zero columns, and the LAST grid step also zeroes the sentinel
-    # block (the final G buffer columns, where binning routes every
-    # invalid slot). Dead columns reading as exact zeros lets the
-    # wrapper's un-sort gather drop its runtime live mask — the
-    # per-slot ifin[slot_tile] gather it replaces cost 5.8 ms/step at
-    # 1080p (r4 device trace), a third of this kernel's own time; the
-    # zero writes are pure DMA on columns the walk below never touches.
-    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
-    n_z = n_chunks - n_live
-    cap_out = ginst_ref.shape[1]
-    is_last = pl.program_id(0) == pl.num_programs(0) - 1
-    n_zt = n_z + jnp.where(is_last, 1, 0)
-
-    def zcol(i):
-        return jnp.where(i < n_z, out0 + (n_live + i) * G, cap_out - G)
-
-    def zdma(col, slot):
-        off = pl.multiple_of(col, G)
-        return pltpu.make_async_copy(
-            gbuf.at[slot], ginst_ref.at[:, pl.ds(off, G)], wsem.at[slot])
-
-    @pl.when(n_zt > 0)
-    def _():
-        gbuf[0] = jnp.zeros((INST_DIM, G), F32)
-        gbuf[1] = jnp.zeros((INST_DIM, G), F32)
-
-        def zbody(i, c):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i >= 2)
-            def _():
-                zdma(zcol(i - 2), slot).wait()
-
-            zdma(zcol(i), slot).start()
-            return c
-
-        jax.lax.fori_loop(0, n_zt, zbody, 0)
-
-        @pl.when(n_zt > 1)
-        def _():
-            zdma(zcol(n_zt - 2), jax.lax.rem(n_zt - 2, 2)).wait()
-
-        zdma(zcol(n_zt - 1), jax.lax.rem(n_zt - 1, 2)).wait()
+    zero_dead_grad_columns(count, lead, n_live, out0, gbuf, ginst_ref,
+                           wsem)
 
     @pl.when(n_live > 0)
     def _():

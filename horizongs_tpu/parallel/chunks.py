@@ -126,7 +126,7 @@ def consolidate_chunks(chunk_model_dirs: Dict[str, str],
     from horizongs_tpu.io.plyio import PlyStreamWriter
     px, py = plane
 
-    def _cropped(cid: str, mdir: str):
+    def _load(cid: str, mdir: str):
         pc_dir = os.path.join(mdir, "point_cloud")
         it = search_max_iteration(pc_dir)
         if it < 0:
@@ -140,25 +140,36 @@ def consolidate_chunks(chunk_model_dirs: Dict[str, str],
                 & (xyz[:, px] <= xb[1] / scale)
                 & (xyz[:, py] >= yb[0] / scale)
                 & (xyz[:, py] <= yb[1] / scale))
+        return arrays, mask, info, it
+
+    def _cropped(cid: str, mdir: str):
+        arrays, mask, info, it = _load(cid, mdir)
         return {k: v[mask] for k, v in arrays.items()}, info, it
 
-    # pass 1: per-chunk cropped row counts + schema (one chunk resident
-    # at a time; arrays dropped after counting)
+    # pass 1: per-chunk cropped row counts + a shape fingerprint (one
+    # chunk resident at a time). The schema itself is derived ONCE from
+    # a 1-row sample of the first chunk — running the full
+    # explicit_ply_props feature transpose per chunk here would double
+    # the merge's CPU work for values pass 2 recomputes anyway.
     loaded_iter = 0
     total = 0
     last_info: dict = {}
     schema = None
+    shapes = None
     import dataclasses
     for cid, mdir in chunk_model_dirs.items():
-        arrays, info, it = _cropped(cid, mdir)
+        arrays, mask, info, it = _load(cid, mdir)
         loaded_iter = max(loaded_iter, it)
         last_info = info
-        total += arrays["xyz"].shape[0]
-        props, _ = explicit_ply_props(cfg, arrays)
-        chunk_schema = [(k, np.float32) for k in props]
+        total += int(mask.sum())
+        chunk_shapes = {k: v.shape[1:] for k, v in arrays.items()}
         if schema is None:
-            schema = chunk_schema
-        elif [s[0] for s in schema] != [s[0] for s in chunk_schema]:
+            shapes = chunk_shapes
+            idx = np.flatnonzero(mask)[:1]
+            props, _ = explicit_ply_props(
+                cfg, {k: v[idx] for k, v in arrays.items()})
+            schema = [(k, np.float32) for k in props]
+        elif shapes != chunk_shapes:
             raise ValueError(f"chunk {cid} has a different explicit-PLY "
                              f"schema than the first chunk — chunks must "
                              f"be trained with the same color_attr/LOD "

@@ -148,6 +148,40 @@ class Trainer:
         from horizongs_tpu.parallel.step import shard_state
         return shard_state(host_state, self.mesh)
 
+    def restore(self, checkpoint_path: str) -> int:
+        """Resume training state from a checkpoint — an orbax sharded
+        directory (restored straight into the current, possibly sharded,
+        placement: no host gather) or a single-file npz capture. Owns
+        the capacity fix-up every mesh consumer needs: the restore comes
+        back at the STORED capacity (resume after densify growth), which
+        may no longer divide the mesh's "model" axis — re-pad so anchor
+        rows shard evenly. Returns the checkpoint's iteration."""
+        import os
+
+        from horizongs_tpu.train.densify import pad_state_capacity
+        n_model = self.mesh.shape["model"] if self.mesh is not None else 1
+        if os.path.isdir(checkpoint_path):
+            from horizongs_tpu.io.checkpoints import load_sharded_checkpoint
+            self.state, ckpt_it = load_sharded_checkpoint(
+                checkpoint_path, self.state)
+            C = int(self.state.params.anchor.shape[0])
+            if C % n_model:
+                host = pad_state_capacity(self._host_state(),
+                                          -(-C // n_model) * n_model)
+                self.state = self._place_state(host)
+                self.log(f"re-padded restored capacity {C} -> "
+                         f"{int(self.state.params.anchor.shape[0])} "
+                         f"(divisible by model={n_model})")
+        else:
+            from horizongs_tpu.io.checkpoints import load_train_checkpoint
+            host, ckpt_it = load_train_checkpoint(
+                checkpoint_path, self._host_state())
+            C = int(host.params.anchor.shape[0])
+            if C % n_model:
+                host = pad_state_capacity(host, -(-C // n_model) * n_model)
+            self.state = self._place_state(host)
+        return ckpt_it
+
     def _calib_views(self, H, W, samples: int = 6):
         """Evenly-strided sample of train views at this resolution."""
         cams = [c for c in self.scene.get_train_cameras()
