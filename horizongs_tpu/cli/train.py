@@ -56,12 +56,24 @@ def main(argv=None):
                         "views; overflow is counted + recalibrated, "
                         "never silent)")
     parser.add_argument("--balanced_bands", action="store_true",
+                        default=None,
                         help="load-balanced tile-band boundaries: cut "
                         "the image's tile rows at equal routed-record "
                         "quantiles measured over sample views, instead "
                         "of uniformly (street views skew uniform bands "
                         "1.5-1.8x worst/mean; the synchronous step "
-                        "waits on the slowest band)")
+                        "waits on the slowest band). DEFAULT under "
+                        "--mesh; --uniform_bands opts out")
+    parser.add_argument("--uniform_bands", action="store_true",
+                        help="force uniform tile-band boundaries "
+                        "(disable the balanced-bands default under "
+                        "--mesh)")
+    parser.add_argument("--no_balanced_batches", action="store_true",
+                        help="disable cost-balanced data-parallel "
+                        "camera batches (default under --mesh: fill "
+                        "each step's batch with views of similar "
+                        "estimated instance cost — the synchronous "
+                        "step waits on the heaviest view)")
     parser.add_argument("--checkpoint_format", default=None,
                         choices=["npz", "sharded"],
                         help="npz: host-gathered single file (portable). "
@@ -165,7 +177,10 @@ def main(argv=None):
                       else None,
                       mesh=mesh, band_cap=args.band_cap,
                       checkpoint_format=args.checkpoint_format,
-                      balanced_bands=args.balanced_bands)
+                      balanced_bands=(False if args.uniform_bands
+                                      else args.balanced_bands),
+                      balanced_batches=(False if args.no_balanced_batches
+                                        else None))
     iterations = args.iterations or op.iterations
     save_iters = set(args.save_iterations
                      if args.save_iterations is not None else [iterations])

@@ -56,7 +56,8 @@ class Trainer:
                  profile_steps: Optional[tuple] = None,
                  mesh=None, band_cap: Optional[int] = None,
                  checkpoint_format: str = "npz",
-                 balanced_bands: bool = False):
+                 balanced_bands: Optional[bool] = None,
+                 balanced_batches: Optional[bool] = None):
         self.cfg = cfg
         self.op = op
         self.pp = pp
@@ -78,8 +79,21 @@ class Trainer:
         # load-balanced band boundaries: cut the image's tile rows at
         # equal routed-record quantiles instead of uniformly (street
         # views skew uniform bands 1.5-1.8x worst/mean; the synchronous
-        # step waits on the slowest band — SCALING.json load_imbalance)
-        self.balanced_bands = balanced_bands
+        # step waits on the slowest band — SCALING.json load_imbalance).
+        # DEFAULT ON under a mesh (r4 VERDICT ask #1): the measured
+        # per-band step-TIME skew is what gates the >=0.80 scaling bar.
+        self.balanced_bands = (mesh is not None if balanced_bands is None
+                               else balanced_bands)
+        # load-balanced data-parallel batches: fill each step's n_data
+        # camera batch with views of similar estimated instance cost
+        # (the synchronous step waits on the heaviest view — measured
+        # 1.33x worst/mean on random street batches). Epoch coverage is
+        # unchanged: the batch leader is still drawn by the reference
+        # sampling rules; only the FILL picks are cost-nearest.
+        self.balanced_batches = (mesh is not None if balanced_batches
+                                 is None else balanced_batches)
+        self._view_costs = {}
+        self._cost_res_done = set()
         # "npz": host-gathered single-file capture (portable, resumable
         # on any topology). "sharded": orbax directory — every device
         # writes its own shards, no host gather; the city-scale format
@@ -382,7 +396,29 @@ class Trainer:
                     band_cap=band_cap, band_bounds=band_bounds)
         return self._steps[key]
 
-    def _pick_camera(self, stacks):
+    def _ensure_view_costs(self, H, W):
+        """Estimated tile-instance count per train view at (H, W) — the
+        DP-dealing key (`_pick_batch`). One host gather + one jitted
+        count per view, ONCE per resolution: the absolute counts drift
+        as anchors grow, but dealing only needs the views' relative
+        ordering, which is a property of the camera poses."""
+        if (H, W) in self._cost_res_done:
+            return
+        self._cost_res_done.add((H, W))
+        if self.rasterizer not in ("pallas", "pallas_interpret", "tiled"):
+            return
+        from horizongs_tpu.render import count_render_instances
+        mlps, astate = self._calib_host_inputs()
+        backend = ("pallas" if self.rasterizer in
+                   ("pallas", "pallas_interpret") else "scan")
+        for c in self.scene.get_train_cameras():
+            if (c.height, c.width) == (H, W) \
+                    and int(c.uid) not in self._view_costs:
+                self._view_costs[int(c.uid)] = int(count_render_instances(
+                    c, self.cfg, mlps, astate,
+                    add_prefilter=self.add_prefilter, backend=backend))
+
+    def _pick_camera(self, stacks, cost_hint=None):
         pp = self.pp
         if pp.camera_balance:
             if not stacks["aerial"]:
@@ -402,21 +438,36 @@ class Trainer:
             if not stacks["all"]:
                 stacks["all"] = list(self.scene.get_train_cameras())
             stack = stacks["all"]
+        if cost_hint is not None:
+            # cost-nearest fill pick (balanced DP batches): still a
+            # without-replacement pop, so epoch coverage is unchanged
+            i = min(range(len(stack)), key=lambda j: abs(
+                self._view_costs.get(int(stack[j].uid), cost_hint)
+                - cost_hint))
+            return stack.pop(i)
         return stack.pop(self.rng.randint(0, len(stack) - 1))
 
     def _pick_batch(self, stacks, n: int):
         """n same-resolution cameras for one data-parallel step, with a
         per-camera loss weight. Sampling rules (aerial/street proportion)
         are per camera; cameras of other resolutions drawn along the way
-        go back to their stacks. If the dataset can't fill the batch at
-        this resolution, existing picks repeat with weight 1/k so a view
-        duplicated k times still weighs once in the mean gradient
-        (logged once)."""
+        go back to their stacks. With `balanced_batches` (default under
+        a mesh) the n-1 fill picks are cost-NEAREST to the leader's
+        estimated instance count instead of random: the synchronous DP
+        step waits on the heaviest view, and random batches of street
+        views measure 1.33x worst/mean instance skew (SCALING.json).
+        If the dataset can't fill the batch at this resolution, existing
+        picks repeat with weight 1/k so a view duplicated k times still
+        weighs once in the mean gradient (logged once)."""
         cams = [self._pick_camera(stacks)]
         H, W = cams[0].height, cams[0].width
+        hint = None
+        if self.balanced_batches and n > 1:
+            self._ensure_view_costs(H, W)
+            hint = self._view_costs.get(int(cams[0].uid))
         putback, tries = [], 0
         while len(cams) < n and tries < 8 * n:
-            c = self._pick_camera(stacks)
+            c = self._pick_camera(stacks, cost_hint=hint)
             tries += 1
             if (c.height, c.width) == (H, W):
                 cams.append(c)

@@ -526,6 +526,54 @@ def test_sharded_checkpoint_resume_after_growth(tmp_path):
     assert restored2.params.anchor.shape[0] == 512
 
 
+def test_sharded_checkpoint_cross_mesh_restore(tmp_path):
+    """Train-on-pod -> render-on-one-chip (and mesh-reshape resume): a
+    checkpoint saved from a 4x2 mesh restores onto a 2x4 mesh and onto a
+    single device, values intact, placement following the TEMPLATE's
+    mesh in each case. Orbax shards are sliced per save-time placement;
+    the loader re-templates from checkpoint metadata, so any
+    target sharding whose global shape matches works (SURVEY §5;
+    round-4 VERDICT ask #7)."""
+    from horizongs_tpu.io.checkpoints import (
+        load_sharded_checkpoint, save_sharded_checkpoint)
+
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(1)
+    ts = _state(cfg, np.asarray(g["means"]))
+    mesh42 = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    sharded = shard_state(ts, mesh42)
+    path = str(tmp_path / "ckpt_42")
+    save_sharded_checkpoint(path, sharded, 11)
+
+    # restore onto a transposed 2x4 mesh
+    mesh24 = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    tmpl24 = shard_state(jax.tree.map(jnp.zeros_like, ts), mesh24)
+    r24, it = load_sharded_checkpoint(path, tmpl24)
+    assert it == 11
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(r24)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert r24.params.anchor.sharding == tmpl24.params.anchor.sharding
+
+    # restore onto ONE device (the render-on-one-chip workflow): the
+    # unsharded host template places everything on the default device
+    tmpl1 = jax.tree.map(
+        lambda x: jax.device_put(jnp.zeros_like(x), jax.devices()[0]), ts)
+    r1, it = load_sharded_checkpoint(path, tmpl1)
+    assert it == 11
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(r1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert len(r1.params.anchor.devices()) == 1
+
+    # and the restored single-device state actually trains
+    opt = make_optim(start_stat=0)
+    step = build_train_step(cfg, opt, H, W, add_prefilter=False,
+                            rasterizer="tiled")
+    out, m = step(r1, camera_tensors(cams[0], do_stats=True), 1)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_route_records_compaction():
     """Unit: per-destination compaction routes each record to exactly the
     bands its vertical extent touches, in original order, and counts

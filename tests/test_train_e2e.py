@@ -180,3 +180,50 @@ def test_overflow_margin_ceiling():
     t._steps[(32, 32, 256, None, True)] = "step"
     assert not t._handle_overflow(res, 100, 100, 99)
     assert (32, 32, 256, None, True) in t._steps
+
+
+def test_balanced_dp_batches():
+    """Cost-balanced DP batches (default under a mesh): the batch
+    leader is drawn by the normal sampling rules, the fill picks are
+    cost-NEAREST — with views designed in near-equal-cost pairs, every
+    2-view batch must be one of those pairs (worst/mean ~1.0 instead of
+    the measured 1.33 of random street batches), while epoch coverage
+    (each view once per epoch) is unchanged."""
+    import random
+    from collections import defaultdict
+    from types import SimpleNamespace
+    from horizongs_tpu.data.synthetic import orbit_cameras
+    from horizongs_tpu.train.trainer import Trainer
+
+    cams = [c._replace(uid=i) for i, c in enumerate(
+        orbit_cameras(8, width=W, height=H))]
+    costs = {0: 100, 1: 1000, 2: 30, 3: 500, 4: 105, 5: 510, 6: 32,
+             7: 1010}
+    pairs = [{100, 105}, {500, 510}, {1000, 1010}, {30, 32}]
+
+    t = object.__new__(Trainer)   # sampling logic only — no Scene
+    t.pp = SimpleNamespace(camera_balance=False)
+    t.scene = SimpleNamespace(get_train_cameras=lambda: list(cams))
+    t.rng = random.Random(0)
+    t.balanced_batches = True
+    t._view_costs = dict(costs)
+    t._cost_res_done = {(H, W)}   # pre-filled: skip the jitted counts
+    t.log = lambda *a, **k: None
+
+    stacks = defaultdict(list)
+    seen = []
+    for _ in range(4):            # one epoch of 2-view batches
+        batch, wts = t._pick_batch(stacks, 2)
+        assert wts == [1.0, 1.0]
+        got = {costs[int(c.uid)] for c in batch}
+        assert got in pairs, got
+        seen += [int(c.uid) for c in batch]
+    assert sorted(seen) == list(range(8))   # full epoch coverage
+
+    # disabled -> random fill (no pairing guarantee needed; just check
+    # the path doesn't consult the cost cache)
+    t.balanced_batches = False
+    t._view_costs = {}
+    stacks = defaultdict(list)
+    batch, _ = t._pick_batch(stacks, 2)
+    assert len(batch) == 2
