@@ -57,7 +57,7 @@ INST_DIM = 24
 AUX_DIM = 8
 G = 128
 TILE_W = 32
-TILE_H = 16
+TILE_H = 32
 P = TILE_W * TILE_H
 
 ALPHA_CUTOFF = 1.0 / 255.0

@@ -51,19 +51,26 @@ from horizongs_tpu.ops.reference import _sh_colors
 N_FIELDS = 10
 
 
-def suggest_instance_cap(n_instances: int, margin: float = 1.25) -> int:
+def suggest_instance_cap(n_instances: int, margin: float = 1.25,
+                         buckets_per_octave: int = 8) -> int:
     """Round a measured instance count up to a geometric capacity bucket
-    (4 buckets per octave, <=~19% spacing, G-aligned). Static capacities
+    (8 buckets per octave, <=~9% spacing, G-aligned). Static capacities
     trigger one recompile per bucket; geometric spacing bounds both the
-    recompile count and the padding overhead. Use with
+    recompile count and the padding overhead — and since recalibration
+    happens only on counted-overflow events (whose cadence the margin
+    schedule sets, not the bucket density), the r5 move from 4 to 8
+    buckets/octave halves the average capacity padding (~9% -> ~4%)
+    without adding recompiles (ROOFLINE.json capacity_cost measures the
+    per-step price of every 100k slack slots). Use with
     `binning.count_tile_instances` / `count_instances_3dgs` — every
     binning/assembly/routing stage scales with the capacity, so a
     calibrated cap is ~25-35% cheaper per step than the 4N default
     (gsplat sizes its instance list exactly per frame; this is the
     static-shape analog)."""
+    b = buckets_per_octave
     need = max(int(math.ceil(n_instances * margin)), G)
-    k = max(int(math.ceil(4 * math.log2(need / G))), 0)
-    cap = int(math.ceil(G * 2 ** (k / 4)))
+    k = max(int(math.ceil(b * math.log2(need / G))), 0)
+    cap = int(math.ceil(G * 2 ** (k / b)))
     return -(-cap // G) * G
 
 

@@ -110,7 +110,7 @@ def test_suggest_instance_cap_buckets():
         cap = suggest_instance_cap(n, margin=1.25)
         assert cap % G == 0
         assert cap >= 1.25 * n
-        assert cap <= 1.25 * n * 1.2 + G   # <=~19% bucket spacing + align
+        assert cap <= 1.25 * n * 1.095 + G  # <=~9% bucket spacing + align
         assert cap >= prev
         prev = cap
     # bucketing: nearby counts share a capacity (bounds recompiles)

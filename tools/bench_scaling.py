@@ -33,12 +33,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
 import time
 
-_TPU_OVERHEAD = "--tpu_overhead" in sys.argv
+_TPU_OVERHEAD = ("--tpu_overhead" in sys.argv
+                 or "--band_times" in sys.argv)
 
 if __name__ == "__main__" and not _TPU_OVERHEAD \
         and os.environ.get("HGS_BENCH_FORCE_CPU", "1") == "1":
@@ -308,6 +310,320 @@ def run_tpu_overhead(args) -> dict:
                  "band-assembly cost; collectives are identity at 1x1")}
 
 
+def _zero_lr_optim():
+    """Optimizer config with every learning rate zeroed: the timed step
+    runs the full fwd+bwd+Adam pipeline but leaves the params bitwise
+    unchanged, so a ~1000-step timing campaign cannot drift the model
+    (instance counts stay constant across rounds — with real LRs the
+    zero-image 'loss' would collapse opacities and the later timings
+    would measure a lighter scene than the earlier ones)."""
+    from horizongs_tpu.config import DEFAULT_OPTIM
+    zeros = {k: 0.0 for k in DEFAULT_OPTIM
+             if k.endswith(("_lr", "_lr_init", "_lr_final"))}
+    from horizongs_tpu.config import make_optim
+    return make_optim(start_stat=0, **zeros)
+
+
+def flagship_view_spans(cfg, mlps, astate, cams, W, H, TILE_W, TILE_H):
+    """Per-gaussian tile spans of each view: (y0, y1 unclipped tile
+    rows, wspan clipped tile cols). ONE compile; crop instance counts
+    are then host-side arithmetic (the r5 first band-times run paid ~15
+    per-height count compiles over the tunnel and hit the wall-clock
+    cap before producing anything)."""
+    from horizongs_tpu.models.anchors import (anchor_lod_mask,
+                                              decode_neural_gaussians)
+    from horizongs_tpu.ops.binning import ellipse_extents
+    from horizongs_tpu.ops.raster_fields import pack_fields_3dgs
+    n_tiles_x = -(-W // TILE_W)
+
+    @jax.jit
+    def spans_of(viewmat, K, cam_center):
+        mask, smooth = anchor_lod_mask(cfg, astate, cam_center, 1.0)
+        dec = decode_neural_gaussians(cfg, mlps, astate, cam_center,
+                                      mask, smooth,
+                                      appearance_id=jnp.asarray(0))
+        fields, radii, _ = pack_fields_3dgs(
+            dec.means, dec.quats, dec.scales, dec.opacities, dec.colors,
+            viewmat, K, W, H)
+        rx, ry, _ = ellipse_extents(fields[:, 2:5], fields[:, 5])
+        # mirror the raster wrapper's gates: projection validity AND the
+        # alpha-cutoff cull (rasterize_pallas_3dgs radii gate)
+        valid = (radii > 0) & (fields[:, 5] >= 1.0 / 255.0)
+        mx, my = fields[:, 0], fields[:, 1]
+        x0 = jnp.clip(jnp.floor((mx - rx) / TILE_W), 0, n_tiles_x - 1)
+        x1 = jnp.clip(jnp.floor((mx + rx) / TILE_W), 0, n_tiles_x - 1)
+        wspan = jnp.where(valid, x1 - x0 + 1, 0).astype(jnp.int32)
+        y0 = jnp.floor((my - ry) / TILE_H).astype(jnp.int32)  # UNclipped
+        y1 = jnp.floor((my + ry) / TILE_H).astype(jnp.int32)
+        return y0, y1, wspan
+
+    return [tuple(np.asarray(x) for x in
+                  spans_of(c.viewmat, c.K, c.cam_center)) for c in cams]
+
+
+def crop_counts(spans, row_a, row_b):
+    """Span-instance count of the [row_a, row_b) tile-row crop: each
+    splat whose y-extent intersects the crop contributes its clipped
+    rows x wspan. This equals BOTH what the row-cropped camera
+    enumerates (projection culls splats whose radius box misses the
+    crop, `ops/projection.py:136-137`) and the records the real band
+    exchange routes to this band (same AABB rule,
+    `tile_exchange.band_span`)."""
+    y0, y1, wspan = spans
+    ov = np.clip(np.minimum(y1, row_b - 1) - np.maximum(y0, row_a) + 1,
+                 0, row_b - row_a)
+    return int(np.sum(wspan * np.maximum(ov, 0)))
+
+
+def _crop_camera(cam, y0: int, h: int):
+    """Row-crop [y0, y0+h): shift the principal point by the band's
+    start row — every splat projects identically, binning/compositing
+    restricted to exactly the band's rows (what a band-owning device
+    computes, minus the routed-record exchange)."""
+    import jax.numpy as jnp
+    K = cam.K.at[1, 2].add(-float(y0))
+    return cam._replace(K=K, height=h,
+                        image=jnp.zeros((h, cam.width, 3)),
+                        alpha_mask=jnp.ones((h, cam.width, 1)))
+
+
+def run_band_times(args) -> dict:
+    """Direct per-band step-TIME skew on the real chip (r4 VERDICT weak
+    #3 / ask #6): for each band of an n_model-way row split, run the
+    full plain train step (decode -> bin -> rasterize -> loss -> bwd ->
+    zero-LR Adam) on the band's rows via a row-cropped camera, on
+    street-like low-elevation views of the flagship 1080p scene.
+    Uniform vs load-balanced bounds, min of interleaved rounds (the
+    r4 tunnel-robust methodology).
+
+    The record-proportional work (the skewed term) is mirrored exactly;
+    two modeled deltas are stated rather than hidden: (a) each crop
+    decodes the full anchor table where a real band device decodes
+    1/n_model (conservative: overstates every band equally), and (b)
+    the real sharded step composites every band at the TALLEST band's
+    static height — `static_step_ms` adds c_row * (rows_max - rows_b)
+    using the row cost fitted from these very measurements
+    (t = c0 + c_row*rows + c_rec*records, least squares over all
+    (view, band) samples incl. the full-height views)."""
+    from horizongs_tpu.data.synthetic import orbit_cameras
+    from horizongs_tpu.ops.raster_fields import backend_tile_shape
+    from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
+    from horizongs_tpu.parallel.step import count_view_row_loads
+    from horizongs_tpu.parallel.tile_exchange import (
+        band_layout, suggest_band_bounds)
+    from horizongs_tpu.train.optim import mlps_from_params
+    from horizongs_tpu.train.step import build_train_step, camera_tensors
+
+    on_chip = jax.default_backend() != "cpu"
+    W, H = (1920, 1088) if on_chip else (args.width, args.height)
+    rasterizer = "pallas" if on_chip else "tiled"
+    backend = "pallas" if rasterizer == "pallas" else "scan"
+    TILE_W, TILE_H = backend_tile_shape("3D", backend)
+    cfg, ts, _ = _scene(W, H, args.n_points, args.capacity, 1, 1)
+    mlps = mlps_from_params(ts.params)
+    astate = ts.anchor_state()
+    opt0 = _zero_lr_optim()
+    cams = [c._replace(image=jnp.zeros((H, W, 3)),
+                       alpha_mask=jnp.ones((H, W, 1)))
+            for c in orbit_cameras(args.views, radius=2.0, height_z=-0.15,
+                                   width=W, height=H)]
+    n_tiles_y = -(-H // TILE_H)
+    row_loads = sum(np.asarray(count_view_row_loads(
+        c, cfg, mlps, astate, backend=backend, add_prefilter=False))
+        for c in cams)
+
+    view_spans = flagship_view_spans(cfg, mlps, astate, cams, W, H,
+                                     TILE_W, TILE_H)
+
+    def crop_count(v, row_a, row_b):
+        return crop_counts(view_spans[v], row_a, row_b)
+
+    # methodology guard: the analytic full-view count must agree with
+    # the production counter (one jitted call; the r5 first rerun
+    # oversized every band cap 3-5x by counting splats the projection
+    # actually culls — this assert would have caught it)
+    from horizongs_tpu.render import count_render_instances
+    n_ref = int(count_render_instances(cams[0], cfg, mlps, astate,
+                                       add_prefilter=False,
+                                       backend=backend))
+    n_ana = crop_count(0, n_tiles_y)
+    if not 0.9 <= n_ana / max(n_ref, 1) <= 1.1:
+        raise SystemExit(f"analytic span count {n_ana} disagrees with "
+                         f"count_render_instances {n_ref}")
+    print(f"count guard: analytic {n_ana} vs production {n_ref} "
+          f"({n_ana / n_ref:.3f})", flush=True)
+
+    steps = {}          # (h, cap) -> (step_fn, state)
+
+    def step_for(h, cap):
+        key = (h, cap)
+        if key not in steps:
+            fn = build_train_step(cfg, opt0, h, W, add_prefilter=False,
+                                  rasterizer=rasterizer, instance_cap=cap)
+            steps[key] = [fn, jax.tree.map(jnp.copy, ts)]
+        return steps[key]
+
+    def time_crops(crops, cap, rounds=3, iters=4):
+        """crops: list of (cam, h). Interleaved rounds; min per crop."""
+        best = [float("inf")] * len(crops)
+        cts = [camera_tensors(c, do_stats=True) for c, _ in crops]
+        for r in range(rounds):
+            for j, (c, h) in enumerate(crops):
+                ent = step_for(h, cap)
+                st, m = ent[1], None
+                st, m = ent[0](st, cts[j], 1)       # warmup/compile
+                jax.block_until_ready(m["loss"])
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    st, m = ent[0](st, cts[j], i + 2)
+                jax.block_until_ready(m["loss"])
+                ent[1] = st
+                best[j] = min(best[j],
+                              (time.perf_counter() - t0) / iters)
+        return best
+
+    partial = {}
+
+    def save_partial():
+        cb = getattr(args, "save_partial", None)
+        if cb:
+            cb(dict(partial, partial=True))
+
+    # full-height per-view baseline (DP-axis skew + regression anchors)
+    full_counts = [crop_count(v, 0, n_tiles_y) for v in range(len(cams))]
+    cap_full = suggest_instance_cap(max(full_counts), margin=1.3)
+    t_full = time_crops([(c, H) for c in cams], cap_full)
+    tv = np.asarray(t_full) * 1e3
+    print("per-view 1080p step ms:", tv.round(1).tolist(),
+          f" worst/mean={tv.max() / tv.mean():.3f}", flush=True)
+    partial["per_view_1080p"] = {
+        "instances": full_counts, "step_ms": tv.round(3).tolist(),
+        "instance_cap": cap_full,
+        "time_worst_over_mean": float(tv.max() / tv.mean())}
+    save_partial()
+
+    # regression samples: (tile_rows, records, t_ms)
+    samples = [(n_tiles_y, full_counts[v], t_full[v] * 1e3)
+               for v in range(len(cams))]
+    bands_out = {}
+    partial["bands"] = bands_out
+    for n_m in (2, 4, 8):
+        per_variant = {}
+        # n_m=8: balanced bounds only (the mesh default) — the first r5
+        # run showed the per-height compiles dominate wall clock, and
+        # the 1x8 decision only needs the mitigated number
+        variants = {"balanced": suggest_band_bounds(row_loads, n_m)}
+        if n_m < 8:
+            variants["uniform"] = None
+        # one shared cap per n_m (mirrors the real step's single static
+        # cap; sized by the worst band over both variants)
+        crops_all = {}
+        for name, bounds in variants.items():
+            layout = band_layout(H, W, n_m, TILE_H, bounds)
+            crops = []
+            for b in range(n_m):
+                y0 = layout.starts_px[b]
+                h = min(layout.heights_px[b], max(H - y0, 0))
+                crops.append((y0, h))
+            crops_all[name] = (layout, crops)
+        counts = {}
+        for name, (layout, crops) in crops_all.items():
+            counts[name] = [[crop_count(v, y0 // TILE_H,
+                                        (y0 + h) // TILE_H)
+                             if h > 0 else 0 for (y0, h) in crops]
+                            for v in range(len(cams))]
+        cap = suggest_instance_cap(
+            max(max(max(row) for row in counts[name])
+                for name in counts), margin=1.3)
+        for name, (layout, crops) in crops_all.items():
+            cnt = np.asarray(counts[name], np.float64)   # (V, n_m)
+            todo = [(v, b) for b in range(n_m) for v in range(len(cams))
+                    if crops[b][1] > 0]
+            tt = time_crops([(_crop_camera(cams[v], *crops[b]), crops[b][1])
+                             for v, b in todo], cap)
+            t_ms = np.zeros((len(cams), n_m))
+            for (v, b), t in zip(todo, tt):
+                t_ms[v, b] = t * 1e3
+                samples.append((crops[b][1] // TILE_H, cnt[v, b], t * 1e3))
+            per_variant[name] = {
+                "bounds": list(layout.bounds),
+                "rows": [h // TILE_H for _, h in crops],
+                "records": cnt.astype(int).tolist(),
+                "step_ms": t_ms.round(3).tolist(),
+            }
+            print(f"n_model={n_m} {name}: per-band ms "
+                  f"{t_ms.mean(axis=0).round(1).tolist()}", flush=True)
+            bands_out[str(n_m)] = {"instance_cap": cap, **per_variant}
+            save_partial()
+
+    # least-squares t = c0 + c_row*rows + c_rec*records over ALL samples
+    fit, bands_out = band_times_postprocess(samples, bands_out, tv,
+                                            full_counts)
+    return {
+        "width": W, "height": H, "n_anchors": int(ts.n),
+        "views": args.views, "rasterizer": rasterizer,
+        "per_view_1080p": {
+            "instances": full_counts,
+            "step_ms": tv.round(3).tolist(),
+            "instance_cap": cap_full,
+            "time_worst_over_mean": float(tv.max() / tv.mean()),
+            "load_fraction_f": fit["load_fraction_f"]},
+        "fit": fit,
+        "bands": bands_out,
+        "note": ("full plain train step on row-cropped cameras (zero-LR "
+                 "Adam; min of 3 interleaved 4-iter rounds; instance "
+                 "caps sized from each band's own routed-record counts "
+                 "x1.3 like the trainer calibrates the real band step). "
+                 "static_step_ms re-adds the tallest-band static-height "
+                 "cost (c_row fitted from these samples) that the real "
+                 "sharded step pays on every device; crops decode the "
+                 "full table where a band device decodes 1/n_model "
+                 "(conservative, overstates all bands equally)")}
+
+
+def band_times_postprocess(samples, bands_out, tv, full_counts):
+    """Fit t = c0 + c_row*rows + c_rec*records over all (view, crop)
+    samples, then attach static-height-corrected per-band times +
+    time-skew summaries to `bands_out` (mutates + returns)."""
+    A = np.asarray([[1.0, s[0], s[1]] for s in samples])
+    y = np.asarray([s[2] for s in samples])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    c0, c_row, c_rec = [float(x) for x in coef]
+    resid = float(np.sqrt(np.mean((A @ coef - y) ** 2)))
+    print(f"fit: t_ms = {c0:.2f} + {c_row:.3f}*tile_rows "
+          f"+ {c_rec * 1e3:.4f}*krecords   rms={resid:.2f} ms",
+          flush=True)
+
+    for n_m_s, ent in bands_out.items():
+        for name in ("uniform", "balanced"):
+            if name not in ent:
+                continue
+            var = ent[name]
+            rows = np.asarray(var["rows"])
+            rows_max = rows.max()
+            t = np.asarray(var["step_ms"])
+            t_static = np.where(
+                t > 0, t + c_row * (rows_max - rows)[None, :],
+                c0 + c_row * rows_max)
+            var["static_step_ms"] = t_static.round(3).tolist()
+            wm = t_static.max(axis=1) / np.maximum(t_static.mean(axis=1),
+                                                   1e-9)
+            var["time_worst_over_mean_per_view"] = wm.round(3).tolist()
+            var["time_worst_over_mean_max"] = float(wm.max())
+            print(f"n_model={n_m_s} {name}: time worst/mean "
+                  f"max={wm.max():.3f}", flush=True)
+
+    # load-proportional fraction of the full step (diagnostic)
+    f_load = c_rec * float(np.mean(full_counts)) / float(tv.mean())
+    fit = {"c0_ms": round(c0, 3),
+           "c_row_ms_per_tile_row": round(c_row, 4),
+           "c_rec_ms_per_record": c_rec,
+           "rms_ms": round(resid, 3),
+           "n_samples": len(samples),
+           "load_fraction_f": round(f_load, 4)}
+    return fit, bands_out
+
+
 # v5e-class chip constants (public "How to Scale Your Model" numbers):
 # one-way per-link ICI bandwidth; a v5e chip has 4 links in a 2D torus.
 # The projection uses ONE link per collective phase — conservative: ring
@@ -316,26 +632,63 @@ ICI_BW = 4.5e10          # B/s one-way per link
 RECORD_BYTES_3D = 11 * 4  # packed 3DGS record (10 fields + bin radius)
 
 
-def run_projection(args, prior: dict) -> dict:
-    """Analytic N-chip scaling projection from MEASURED quantities: the
-    real-chip 1x1 band-overhead ratio (SCALING.json tpu_1x1_overhead) +
-    the calibrated per-(src,dst) exchange volume of the same flagship
-    scene, against ICI bandwidth. Real multi-chip hardware cannot run in
-    this environment (one chip behind a tunnel), so this is the
-    decision-grade stand-in the round-3 VERDICT asked for: all compute
-    terms are measurements, only the collective times are modeled.
+def _simulate_batches(costs: np.ndarray, n_d: int, policy: str,
+                      epochs: int = 300, seed: int = 0):
+    """Per-step view batches over many epochs of a measured view pool.
 
-    Model (mesh n_d x n_m, n_d views/step):
-      T_step = T1 * ovh * (1/n_m + halo_frac) + T_comm
-      eff    = T1 / (n_m * T_step)
-    where halo_frac charges the 2*HALO extra composited rows per band at
-    full step cost (conservative: only composite+loss actually scale
-    with rows), and T_comm sums, each at one ICI link:
+    policy "random": the trainer's plain sampler (uniform without
+    replacement). "dealt": the trainer's `balanced_batches` fill —
+    random leader, cost-NEAREST fills (`trainer._pick_batch`). Returns
+    a list of index-batches (views may repeat across epochs; the pool
+    is the measured views tiled to >= n_d)."""
+    rng = np.random.default_rng(seed)
+    n_views = len(costs)
+    reps = max(-(-n_d // n_views), 1) * 2
+    base = np.tile(np.arange(n_views), reps)
+    batches = []
+    for _ in range(epochs):
+        pool = list(rng.permutation(base))
+        while len(pool) >= n_d:
+            lead = pool.pop(rng.integers(len(pool)))
+            batch = [lead]
+            if policy == "dealt":
+                for _ in range(n_d - 1):
+                    j = min(range(len(pool)),
+                            key=lambda i: abs(costs[pool[i]] - costs[lead]))
+                    batch.append(pool.pop(j))
+            else:
+                for _ in range(n_d - 1):
+                    batch.append(pool.pop(rng.integers(len(pool))))
+            batches.append(batch)
+    return batches
+
+
+def run_projection(args, prior: dict) -> dict:
+    """Analytic N-chip scaling projection from MEASURED quantities,
+    INCLUDING the measured load imbalance (r4 VERDICT ask #1 — the r4
+    projection assumed perfect balance while the same file measured
+    1.33-1.84x skew): per-(view, band) step TIMES from `--band_times`
+    (run that on the chip first), the 1x1 band-overhead ratio, and the
+    calibrated exchange volume against ICI bandwidth. Real multi-chip
+    hardware cannot run in this environment, so this is the
+    decision-grade stand-in: all compute terms are measurements, only
+    the collective times are modeled.
+
+    Model (mesh n_d x n_m, n_d views/step): the synchronous step waits
+    on the slowest device, so
+      T_step = E_batches[ max_{v in batch, m} t_dev(v, m) ] * ovh
+               + T1 * ovh * halo_frac + T_comm
+      eff    = mean_v t_view(v) / (n_m * T_step)
+    with t_dev the MEASURED per-band step time of view v on band m
+    (static tallest-band height) and the batch expectation Monte-Carlo'd
+    under the trainer's sampling policy (random vs cost-dealt batches;
+    uniform vs balanced band bounds). T_comm sums, each at one ICI link:
       * record all_to_all: (n_m-1) * band_cap * 44 B egress/device
       * table-grad pmean over data: ring all-reduce of the per-device
         anchor-table gradient shard, 2(n_d-1)/n_d * bytes
       * MLP-grad psum over model: 2(n_m-1)/n_m * mlp_bytes
-    """
+    halo_frac charges the 2*HALO extra composited rows per band at full
+    step cost (conservative)."""
     from horizongs_tpu.parallel.step import count_band_records
     from horizongs_tpu.parallel.tile_exchange import suggest_band_cap
     from horizongs_tpu.train.optim import mlps_from_params
@@ -344,15 +697,23 @@ def run_projection(args, prior: dict) -> dict:
     if not ovh_rec:
         raise SystemExit("--project needs tpu_1x1_overhead in SCALING.json "
                          "(run --tpu_overhead on the chip first)")
-    T1 = ovh_rec["plain_step_ms"] / 1e3
+    bt = prior.get("band_time_skew")
+    if not bt:
+        raise SystemExit("--project needs band_time_skew in SCALING.json "
+                         "(run --band_times on the chip first — the "
+                         "projection folds MEASURED per-band step-time "
+                         "skew in; it no longer assumes perfect balance)")
     ovh = ovh_rec["band_overhead_ratio"]
-    W, H = ovh_rec["width"], ovh_rec["height"]
+    W, H = bt["width"], bt["height"]
     HALO_PX = 5
+
+    t_view = np.asarray(bt["per_view_1080p"]["step_ms"], np.float64)
+    view_cost = np.asarray(bt["per_view_1080p"]["instances"], np.float64)
+    T1 = float(t_view.mean()) / 1e3        # street-view mean, 1 chip
 
     cfg, ts, cams = _scene(W, H, args.n_points, args.capacity, 1, 1)
     mlps = mlps_from_params(ts.params)
     astate = ts.anchor_state()
-    k = cfg.n_offsets
 
     # bytes of one anchor-table gradient row set (params only — Adam
     # moments never cross devices)
@@ -366,6 +727,21 @@ def run_projection(args, prior: dict) -> dict:
         for t in (ts.params.mlp_opacity, ts.params.mlp_cov,
                   ts.params.mlp_color)
         for w in jax.tree.leaves(t))
+
+    def mc_compute_ms(n_d, n_m, policy, variant):
+        """Monte-Carlo E[max over devices] of the measured device times
+        (ms, before the ovh multiplier)."""
+        if n_m == 1:
+            t_dev = t_view[:, None]                       # (V, 1)
+        else:
+            ent = bt["bands"][str(n_m)]
+            # n_m=8 measures balanced bounds only (the mesh default) —
+            # its "unmitigated" row reuses them with random batching
+            var = ent.get(variant) or ent["balanced"]
+            t_dev = np.asarray(var["static_step_ms"], np.float64)
+        batches = _simulate_batches(view_cost, n_d, policy)
+        worst = [max(t_dev[v].max() for v in b) for b in batches]
+        return float(np.mean(worst))
 
     rows = []
     n_total = args.project
@@ -387,22 +763,37 @@ def run_projection(args, prior: dict) -> dict:
         # backward rides the transposed collectives: double a2a + table
         t_comm = 2 * t_a2a + t_table + t_mlp
         halo_frac = 2 * HALO_PX * (n_m - 1) / (H * max(n_m, 1))
-        t_step = T1 * ovh * (1.0 / n_m + halo_frac) + t_comm
-        eff = T1 / (n_m * t_step)
+        t_halo = T1 * ovh * halo_frac
+
+        def eff_of(policy, variant):
+            t_c = mc_compute_ms(n_d, n_m, policy, variant) / 1e3
+            t_step = t_c * ovh + t_halo + t_comm
+            return T1 / (n_m * t_step), t_step
+
+        eff_mit, t_mit = eff_of("dealt", "balanced")     # the defaults
+        eff_unmit, t_unmit = eff_of("random", "uniform")
+        # audit trail: the r4 perfect-balance model on the same basis
+        t_perfect = T1 * ovh * (1.0 / n_m + halo_frac) + t_comm
         rows.append({
             "mesh": f"{n_d}x{n_m}", "band_cap": cap,
-            "t_step_ms": t_step * 1e3,
+            "t_step_ms": t_mit * 1e3,
+            "t_step_ms_unmitigated": t_unmit * 1e3,
             "t_comm_ms": t_comm * 1e3,
             "t_a2a_ms": t_a2a * 1e3, "t_table_allreduce_ms": t_table * 1e3,
             "t_mlp_psum_ms": t_mlp * 1e3,
-            "projected_efficiency": eff})
-        print(f"mesh {n_d}x{n_m}: step={t_step*1e3:7.2f} ms "
-              f"(comm {t_comm*1e3:5.2f} ms, a2a cap={cap}) "
-              f"eff={eff:.3f}")
+            "projected_efficiency": eff_mit,
+            "projected_efficiency_unmitigated": eff_unmit,
+            "projected_efficiency_perfect_balance":
+                T1 / (n_m * t_perfect)})
+        print(f"mesh {n_d}x{n_m}: step={t_mit*1e3:7.2f} ms "
+              f"(comm {t_comm*1e3:5.2f} ms) eff={eff_mit:.3f} "
+              f"(unmitigated {eff_unmit:.3f}, perfect-balance "
+              f"{T1 / (n_m * t_perfect):.3f})")
     best = max(rows, key=lambda r: r["projected_efficiency"])
     return {
         "n_chips": n_total,
-        "basis": {"plain_step_ms_1chip": T1 * 1e3,
+        "basis": {"street_view_mean_step_ms_1chip": T1 * 1e3,
+                  "per_view_step_ms": t_view.round(2).tolist(),
                   "band_overhead_ratio_1x1": ovh,
                   "table_grad_bytes": table_bytes,
                   "mlp_grad_bytes": mlp_bytes,
@@ -412,10 +803,18 @@ def run_projection(args, prior: dict) -> dict:
         "meshes": rows,
         "best_mesh": best["mesh"],
         "projected_efficiency": best["projected_efficiency"],
-        "note": ("analytic: measured 1x1 overhead + calibrated exchange "
-                 "volume vs one-link ICI bandwidth; compute terms "
-                 "measured, collective terms modeled (no multi-chip "
-                 "hardware in this environment)")}
+        "imbalance_model": (
+            "compute term = Monte-Carlo E[max over devices] of MEASURED "
+            "per-(view, band) step times (band_time_skew.static_step_ms) "
+            "under the trainer's batch policy — mitigated = cost-dealt "
+            "DP batches + balanced band bounds (the defaults under a "
+            "mesh); unmitigated = random batches + uniform bounds; "
+            "perfect_balance = the r4 model, kept for the audit trail"),
+        "note": ("analytic: measured 1x1 overhead + measured per-band "
+                 "step times + calibrated exchange volume vs one-link "
+                 "ICI bandwidth; compute terms measured, collective "
+                 "terms modeled (no multi-chip hardware in this "
+                 "environment)")}
 
 
 def run_imbalance(args) -> dict:
@@ -520,6 +919,10 @@ def main():
     ap.add_argument("--imbalance", action="store_true",
                     help="measure band/DP load imbalance on street-like "
                     "views instead of running a sweep")
+    ap.add_argument("--band_times", action="store_true",
+                    help="measure per-band step-TIME skew on the real "
+                    "chip via row-cropped cameras (uniform vs balanced "
+                    "bounds; feeds the imbalance-aware --project)")
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args()
@@ -535,6 +938,14 @@ def main():
     if args.tpu_overhead:
         prior["tpu_1x1_overhead"] = run_tpu_overhead(args)
         out = prior
+    elif args.band_times:
+        def _save_partial(partial):
+            prior["band_time_skew"] = partial
+            with open(args.out, "w") as f:
+                json.dump(prior, f, indent=1)
+        args.save_partial = _save_partial
+        prior["band_time_skew"] = run_band_times(args)
+        out = prior
     elif args.project:
         prior[f"projected_efficiency_{args.project}chip"] = \
             run_projection(args, prior)
@@ -546,13 +957,15 @@ def main():
         out = run_scaling(args)
         for key in list(prior):
             if (key.startswith("projected_efficiency_")
-                    or key in ("tpu_1x1_overhead", "load_imbalance")):
+                    or key in ("tpu_1x1_overhead", "load_imbalance",
+                               "band_time_skew")):
                 out[key] = prior[key]
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     if (not args.tpu_overhead and not args.project
-            and not args.imbalance and "results" in out):
+            and not args.imbalance and not args.band_times
+            and "results" in out):
         r = out["results"][-1]
         print(f"wrote {args.out}; efficiency @{r['devices']} devices: "
               f"{r['efficiency']:.2f}"

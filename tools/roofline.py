@@ -50,14 +50,188 @@ BWD_VPU_PER_IP = 40
 VPU_FLOPS = 1.97e14 / 24   # rough VPU f32 rate (8x128x8 ALUs @ .94GHz)
 
 
+def _tmin(f, *a, iters=10, rounds=3):
+    """Min-of-interleaved-rounds wall time (ms) — the tunnel-robust
+    methodology (SCALING.json tpu_1x1_overhead note)."""
+    import time
+    best = float("inf")
+    for _ in range(rounds):
+        o = jax.block_until_ready(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f(*a)
+        jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
+# 2DGS per-instance-pixel cost model (ops/pallas/raster2d.py inner loop):
+#   fwd: 4 full-G lane scans (logT prefix, A_prev, D_prev, median
+#        crossed) x 2 split-bf16 passes x 2G flops/elem = 4*512; field
+#        accumulation dot_f32 3 passes x 2*24 = 144
+#   bwd: 4 suffix scans (lam, w, wz, wdw) = 4*512; dw + gcd dots = 288
+#   VPU: ray-splat intersection (hu/hv/cross/u/v/rho/z ~50) + alpha/
+#        median/distortion (~40 fwd, ~90 bwd with gradient algebra)
+FWD2_MXU_PER_IP = 4 * 512 + 144
+BWD2_MXU_PER_IP = 4 * 512 + 288
+FWD2_VPU_PER_IP = 90
+BWD2_VPU_PER_IP = 140
+
+
+def run_2d(args) -> dict:
+    """2DGS kernel-pair roofline on the bench scene (r4 VERDICT ask #2:
+    the 2DGS pair had none of the 3DGS rigor) — stage times, chunk
+    census, flop bounds, roof fractions. Writes the `2dgs` section."""
+    from horizongs_tpu.data.synthetic import lookat_camera, random_gaussians
+    from horizongs_tpu.ops.binning import (build_tile_instances,
+                                           cull_radius, grad_capacity)
+    from horizongs_tpu.ops.pallas.raster2d import (
+        AUX_DIM, INST_DIM, TILE_H, TILE_W, rasterize2d_bwd,
+        rasterize2d_fwd)
+    from horizongs_tpu.ops.projection import project_2dgs
+    from horizongs_tpu.ops.raster import _make_grid
+    from horizongs_tpu.ops.raster_pallas import (
+        N_FIELDS_2D, _assemble_inst, _instance_grads_to_fields,
+        count_instances_2dgs, rasterize_pallas_2dgs)
+
+    W, H, n = args.width, args.height, 100_000
+    cam = lookat_camera(width=W, height=H, eye=(0, 0, -4))
+    g = {k: jnp.asarray(v) for k, v in
+         random_gaussians(n, seed=0, extent=1.5,
+                          scale_range=(0.004, 0.02)).items()}
+    bg = jnp.zeros(3)
+    n2 = int(jax.jit(count_instances_2dgs,
+                     static_argnames=("width", "height"))(
+        g["means"], g["quats"], g["scales"], g["opacities"],
+        cam.viewmat, cam.K, width=W, height=H))
+    cap = -(-int(n2 * 1.02) // 128) * 128
+    grid = _make_grid(W, H, TILE_W, TILE_H)
+    n_tiles = grid.n_tiles_x * grid.n_tiles_y
+    P2 = TILE_W * TILE_H
+
+    @jax.jit
+    def prep(means, quats, scales, opacities, colors):
+        proj = project_2dgs(means, quats, scales, cam.viewmat, cam.K, W, H)
+        radii = jnp.where(opacities >= 1.0 / 255.0,
+                          cull_radius(proj.radii, opacities, guard_px=2.2),
+                          0.0)
+        inst = build_tile_instances(proj.means2d, radii, proj.depths,
+                                    grid.n_tiles_x, grid.n_tiles_y,
+                                    TILE_W, TILE_H, cap)
+        M = proj.transforms
+        fields = jnp.concatenate(
+            [M[:, 0, :], M[:, 1, :], M[:, 2, :], proj.means2d,
+             opacities[:, None], colors, proj.normals], axis=-1)
+        return fields, inst
+
+    gargs = (g["means"], g["quats"], g["scales"], g["opacities"],
+             g["colors"])
+    fields, inst = jax.block_until_ready(prep(*gargs))
+    seg = np.asarray(inst.tile_starts)
+    segc = seg[1:] - seg[:-1]
+    chunks = np.where(segc > 0, -(-((seg[:-1] % 128) + segc) // 128), 0)
+    asm = jax.jit(lambda f, i: _assemble_inst(f, i, inst_dim=INST_DIM))
+    data = jax.block_until_ready(asm(fields, inst))
+    fwd = jax.jit(lambda d, ts: rasterize2d_fwd(
+        d, ts, grid.n_tiles_x, grid.n_tiles_y))
+    acc, aux = jax.block_until_ready(fwd(data, inst.tile_starts))
+    ifin = aux[:, 6, 0].astype(jnp.int32)
+    chunks_live = int(np.asarray(ifin).sum())
+    dacc = jnp.ones_like(acc)
+    daux = jnp.zeros_like(aux).at[:, 1:3, :].set(1.0)
+    bwd = jax.jit(lambda d, da, dx, ax, i: rasterize2d_bwd(
+        d, inst.tile_starts, inst.out_starts, i, da, dx, ax,
+        grid.n_tiles_x, grid.n_tiles_y))
+    gi = jax.block_until_ready(bwd(data, dacc, daux, aux, ifin))
+    uns = jax.jit(lambda gi, i: _instance_grads_to_fields(
+        gi, i, n_fields=N_FIELDS_2D))
+    jax.block_until_ready(uns(gi, inst))
+
+    def loss2(m, s, o, c):
+        r, _, nrm, _, dist, _, _ = rasterize_pallas_2dgs(
+            m, g["quats"], s, o, c, cam.viewmat, cam.K, W, H, bg,
+            render_mode="RGB+ED", cap=cap)
+        return jnp.mean(r ** 2) + jnp.mean(nrm ** 2) + jnp.mean(dist)
+
+    step = jax.jit(lambda m, s, o, c: jax.grad(
+        loss2, argnums=(0, 1, 2, 3))(m, s, o, c))
+    sargs = (g["means"], g["scales"], g["opacities"], g["colors"])
+    jax.block_until_ready(step(*sargs))
+
+    t = {"prep_proj_bin": _tmin(prep, *gargs),
+         "assemble": _tmin(asm, fields, inst),
+         "fwd_kernel": _tmin(fwd, data, inst.tile_starts),
+         "bwd_kernel": _tmin(bwd, data, dacc, daux, aux, ifin),
+         "grad_unsort": _tmin(uns, gi, inst),
+         "end_to_end_grad": _tmin(step, *sargs)}
+
+    ip = chunks_live * G * P2
+    fwd_flops = ip * FWD2_MXU_PER_IP
+    bwd_flops = ip * BWD2_MXU_PER_IP
+    fwd_bytes = (chunks_live * G * INST_DIM * 4
+                 + n_tiles * (INST_DIM + AUX_DIM) * P2 * 4)
+    bwd_bytes = (chunks_live * G * INST_DIM * 4
+                 + n_tiles * (INST_DIM + 2 * AUX_DIM) * P2 * 4
+                 + grad_capacity(cap, n_tiles) * INST_DIM * 4)
+
+    def roof(flops, vpu_ip, bytes_, t_ms):
+        t_mxu = flops / MXU_FLOPS * 1e3
+        t_vpu = vpu_ip * ip / VPU_FLOPS * 1e3
+        t_hbm = bytes_ / HBM_BW * 1e3
+        bound = max(t_mxu, t_vpu, t_hbm)
+        return {"measured_ms": round(t_ms, 3),
+                "mxu_bound_ms": t_mxu, "vpu_bound_ms_rough": t_vpu,
+                "hbm_bound_ms": t_hbm, "roof_fraction": bound / t_ms}
+
+    rays = W * (H if H != 1088 else 1080)
+    out = {
+        "scene": {"width": W, "height": H, "n_gaussians": n,
+                  "tile": f"{TILE_W}x{TILE_H}", "n_tiles": n_tiles,
+                  "instance_cap": cap, "n_instances": n2,
+                  "chunks_total": int(chunks.sum()),
+                  "chunks_live": chunks_live,
+                  "avg_chunks_per_tile": round(chunks.sum() / n_tiles, 2)},
+        "stage_ms": {k: round(v, 3) for k, v in t.items()},
+        "rays_per_sec_end_to_end": round(rays / t["end_to_end_grad"] * 1e3),
+        "per_instance_pixel_flops": {
+            "fwd_mxu": FWD2_MXU_PER_IP, "bwd_mxu": BWD2_MXU_PER_IP,
+            "note": ("4 full-G lane scans per pass (logT/A/D/median fwd; "
+                     "lam/w/wz/wdw suffix bwd) — double the 3DGS scan "
+                     "count, plus the ray-splat intersection on the "
+                     "VPU")},
+        "fwd": roof(fwd_flops, FWD2_VPU_PER_IP, fwd_bytes, t["fwd_kernel"]),
+        "bwd": roof(bwd_flops, BWD2_VPU_PER_IP, bwd_bytes, t["bwd_kernel"]),
+    }
+    print(json.dumps(out["stage_ms"]))
+    print(f"2DGS e2e {t['end_to_end_grad']:.1f} ms = "
+          f"{out['rays_per_sec_end_to_end'] / 1e6:.1f}M rays/s; fwd roof "
+          f"{out['fwd']['roof_fraction']:.2f}, bwd roof "
+          f"{out['bwd']['roof_fraction']:.2f}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="BAND_PROFILE.json")
     ap.add_argument("--n_points", type=int, default=20_000)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--gs", default="3d", choices=["3d", "2d"])
     ap.add_argument("--out", default="ROOFLINE.json")
     args = ap.parse_args()
+
+    if args.gs == "2d":
+        prior = {}
+        if os.path.exists(args.out):
+            try:
+                prior = json.load(open(args.out))
+            except Exception:
+                prior = {}
+        prior["2dgs"] = run_2d(args)
+        with open(args.out, "w") as f:
+            json.dump(prior, f, indent=1)
+        print(f"wrote {args.out} (2dgs section)")
+        return
 
     from tools.bench_scaling import _calibrate, _scene
     from horizongs_tpu.models.anchors import anchor_lod_mask, \
@@ -196,8 +370,17 @@ def main():
             "(tools/microbench_gather.py); r4 removed the 5.8 ms "
             "validity-mask gather by kernel-zeroing dead columns"),
     }
+    # MERGE: preserve keys this run does not produce (the recorded
+    # negative-result entries and the 2dgs section must survive re-runs)
+    prior = {}
+    if os.path.exists(args.out):
+        try:
+            prior = json.load(open(args.out))
+        except Exception:
+            prior = {}
+    prior.update(out)
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(prior, f, indent=1)
     print(f"wrote {args.out}")
 
 
