@@ -60,14 +60,14 @@ def main(argv=None):
                         help="load-balanced tile-band boundaries: cut "
                         "the image's tile rows at equal routed-record "
                         "quantiles measured over sample views, instead "
-                        "of uniformly (street views skew uniform bands "
-                        "1.5-1.8x worst/mean; the synchronous step "
-                        "waits on the slowest band). DEFAULT under "
-                        "--mesh; --uniform_bands opts out")
+                        "of uniformly. OPT-IN for record-bound (sparse) "
+                        "scenes: the r5 measurement (SCALING.json "
+                        "band_time_skew) shows production step time is "
+                        "rows-bound, so uniform bounds win time on "
+                        "saturated scenes")
     parser.add_argument("--uniform_bands", action="store_true",
                         help="force uniform tile-band boundaries "
-                        "(disable the balanced-bands default under "
-                        "--mesh)")
+                        "(overrides --balanced_bands)")
     parser.add_argument("--no_balanced_batches", action="store_true",
                         help="disable cost-balanced data-parallel "
                         "camera batches (default under --mesh: fill "

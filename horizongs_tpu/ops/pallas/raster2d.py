@@ -57,7 +57,7 @@ INST_DIM = 24
 AUX_DIM = 8
 G = 128
 TILE_W = 32
-TILE_H = 32
+TILE_H = 16
 P = TILE_W * TILE_H
 
 ALPHA_CUTOFF = 1.0 / 255.0
@@ -116,7 +116,8 @@ def _intersect(buf, px, py, col0, count):
     alpha = jnp.minimum(raw, MAX_ALPHA)
     # col0 may be negative (floor-aligned base: col0 = i*G - lead);
     # columns with col < 0 belong to the previous tile's segment
-    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    col = col0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, buf.shape[1]), 1)
     valid = (col >= 0) & (col < count) & (one > 0.5)
     alpha = jnp.where((alpha >= ALPHA_CUTOFF) & valid & (z > Z_MIN),
                       alpha, 0.0)
@@ -132,6 +133,17 @@ def _intersect(buf, px, py, col0, count):
 # forward
 # ---------------------------------------------------------------------------
 
+def _half_prefix(x):
+    """Exclusive prefix sum of a (P, 2G) pair along lanes as two
+    independent half-G scans + a carried half-A total (a full-2G scan
+    matmul would double the scan FLOPs — same split as the 3DGS
+    forward, raster3d._fwd_kernel)."""
+    xA, xB = x[:, :G], x[:, G:]
+    sA = jnp.sum(xA, axis=1, keepdims=True)
+    return jnp.concatenate(
+        [lane_prefix_excl(xA), sA + lane_prefix_excl(xB)], axis=1), sA
+
+
 def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
                 *, n_tiles_x):
     t = pl.program_id(0)
@@ -140,55 +152,65 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
     base = (start // G) * G            # floor-aligned chunk base
     lead = start - base
     n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, G), 0)
+    # pair (2-chunk) steps, mirroring the 3DGS forward: two independent
+    # instruction streams per loop iteration hide the serial
+    # scan->w->acc dependency latency (the r5 single-chunk walk measured
+    # 2.8 us/chunk vs the 3DGS pair walk's 1.3; a beyond-segment second
+    # chunk masks to zero via `count` and the 2G instance padding keeps
+    # the DMA in bounds)
+    n_pairs = pl.cdiv(n_chunks, 2)
 
     px, py = _pixel_coords(t, n_tiles_x)
 
-    def dma(i, slot):
-        off = pl.multiple_of(base + i * G, G)
+    def dma(p, slot):
+        off = pl.multiple_of(base + p * (2 * G), G)
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(off, G)], buf.at[slot], sem.at[slot])
+            inst_hbm.at[:, pl.ds(off, 2 * G)], buf.at[slot], sem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_pairs > 0)
     def _():
         dma(0, 0).start()
 
     def cond(carry):
-        i = carry[0]
+        p = carry[0]
         logT = carry[2]
-        return (i < n_chunks) & (jnp.max(logT) > LOG_T_EPS)
+        return (p < n_pairs) & (jnp.max(logT) > LOG_T_EPS)
 
     def body(carry):
-        i, acc, logT, A, D, dist, med, medidx = carry
-        slot = jax.lax.rem(i, 2)
+        p, acc, logT, A, D, dist, med, medidx = carry
+        slot = jax.lax.rem(p, 2)
 
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(p + 1 < n_pairs)
         def _():
-            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+            dma(p + 1, jax.lax.rem(p + 1, 2)).start()
 
-        dma(i, slot).wait()
-        chunk = buf[slot]
-        it = _intersect(chunk, px, py, i * G - lead, count)
+        dma(p, slot).wait()
+        pair = buf[slot]                                      # (24, 2G)
+        it = _intersect(pair, px, py, p * (2 * G) - lead, count)
         alpha, lam, z = it["alpha"], it["lam"], it["z"]
 
-        logT_tot = logT + lane_prefix_excl(lam)
+        pref_lam, _ = _half_prefix(lam)
+        logT_tot = logT + pref_lam
         w = jnp.where(logT_tot > LOG_T_EPS, alpha * jnp.exp(logT_tot), 0.0)
         wz = w * z
 
-        acc = acc + dot_f32(chunk, w, (((1,), (1,)), ((), ())))  # (24, P)
+        acc = acc + dot_f32(pair, w, (((1,), (1,)), ((), ())))  # (24, P)
 
         # distortion: 2 * sum w * (z * A_prev - D_prev), streaming
-        A_prev = A + lane_prefix_excl(w)
-        D_prev = D + lane_prefix_excl(wz)
+        pref_w, _ = _half_prefix(w)
+        pref_wz, _ = _half_prefix(wz)
+        A_prev = A + pref_w
+        D_prev = D + pref_wz
         dist = dist + 2.0 * jnp.sum(w * (z * A_prev - D_prev), axis=1,
                                     keepdims=True)
 
         # median: first instance where T_after < 0.5 (w > 0)
         T_after = jnp.exp(logT_tot + lam)
         crossed = ((T_after < 0.5) & (w > 0.0)).astype(F32)
-        prefix = lane_prefix_excl(crossed)
-        first = crossed * (prefix < 0.5) * (medidx < -0.5)     # (P, G)
-        colf = (i * G - lead + jax.lax.broadcasted_iota(
-            jnp.int32, (1, G), 1)).astype(F32)
+        prefix, _ = _half_prefix(crossed)
+        first = crossed * (prefix < 0.5) * (medidx < -0.5)    # (P, 2G)
+        colf = (p * (2 * G) - lead + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 2 * G), 1)).astype(F32)
         med = med + jnp.sum(first * z, axis=1, keepdims=True)
         medidx = medidx + jnp.sum(first * (colf + 1.0), axis=1,
                                   keepdims=True)
@@ -196,18 +218,23 @@ def _fwd_kernel(tile_starts, inst_hbm, acc_ref, aux_ref, buf, sem,
         A = A + jnp.sum(w, axis=1, keepdims=True)
         D = D + jnp.sum(wz, axis=1, keepdims=True)
         logT = logT + jnp.sum(lam, axis=1, keepdims=True)
-        return i + 1, acc, logT, A, D, dist, med, medidx
+        return p + 1, acc, logT, A, D, dist, med, medidx
 
     z1 = jnp.zeros((P, 1), F32)
-    i_fin, acc, logT, A, D, dist, med, medidx = jax.lax.while_loop(
+    p_fin, acc, logT, A, D, dist, med, medidx = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), jnp.zeros((INST_DIM, P), F32),
          z1, z1, z1, z1, z1, z1 - 1.0))
 
-    @pl.when((i_fin < n_chunks) & (n_chunks > 0))
+    @pl.when((p_fin < n_pairs) & (n_pairs > 0))
     def _():
-        dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+        dma(p_fin, jax.lax.rem(p_fin, 2)).wait()
 
+    # chunks composited: both chunks of every processed pair contributed
+    # (a beyond-segment second chunk contributed exactly zero), so i_fin
+    # is even or equals n_chunks — the backward's single-chunk reverse
+    # walk relies on exactly this (same contract as the 3DGS pair).
+    i_fin = jnp.minimum(2 * p_fin, n_chunks)
     acc_ref[0] = acc
     aux = jnp.concatenate(
         [logT, D, dist, med, medidx, A,
@@ -234,7 +261,7 @@ def rasterize2d_fwd(inst_data, tile_starts, n_tiles_x: int, n_tiles_y: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, INST_DIM, G), F32),
+            pltpu.VMEM((2, INST_DIM, 2 * G), F32),  # double-buffered pairs
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -244,6 +271,10 @@ def rasterize2d_fwd(inst_data, tile_starts, n_tiles_x: int, n_tiles_y: int,
         out_shape=(jax.ShapeDtypeStruct((n_tiles, INST_DIM, P), F32),
                    jax.ShapeDtypeStruct((n_tiles, AUX_DIM, P), F32)),
         interpret=interpret,
+        # the pair walk keeps ~15 (P, 2G) f32 intersection temporaries
+        # live — allow Mosaic past its 16 MB default scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(tile_starts, inst_data)
 
 
@@ -456,5 +487,12 @@ def rasterize2d_bwd(inst_data, tile_starts, out_starts, ifin, d_acc,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((INST_DIM, cap_out), F32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the 32x32 tile's gradient algebra keeps ~20 (P, G) f32
+        # temporaries live (~22 MB peak) — raise Mosaic's scoped-vmem
+        # cap above its 16 MB default (v5e VMEM is far larger; the r5
+        # tile-size change halves the grid/instance-duplication cost,
+        # measured net win over the 32x16 tile that fit the default)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(tile_starts, out_starts, ifin, inst_data, d_acc, d_aux, aux)

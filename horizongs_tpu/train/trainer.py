@@ -77,12 +77,17 @@ class Trainer:
         self.mesh = mesh
         self.band_cap = band_cap
         # load-balanced band boundaries: cut the image's tile rows at
-        # equal routed-record quantiles instead of uniformly (street
-        # views skew uniform bands 1.5-1.8x worst/mean; the synchronous
-        # step waits on the slowest band — SCALING.json load_imbalance).
-        # DEFAULT ON under a mesh (r4 VERDICT ask #1): the measured
-        # per-band step-TIME skew is what gates the >=0.80 scaling bar.
-        self.balanced_bands = (mesh is not None if balanced_bands is None
+        # equal routed-record quantiles instead of uniformly. OPT-IN:
+        # the r5 per-band step-TIME measurement (SCALING.json
+        # band_time_skew) found production step time rows-bound, not
+        # record-bound (t = c0 + c_row*rows + ~0*records — static caps
+        # flatten binning cost and saturated tiles bound kernel work),
+        # so the 1.5-1.8x routed-RECORD skew of street views converts
+        # to only ~1.1x time skew, while balanced cuts make the tallest
+        # band taller — a static-height cost every device pays. Uniform
+        # bounds win time on saturated scenes; balancing helps only
+        # record-bound (sparse, unsaturated) workloads.
+        self.balanced_bands = (False if balanced_bands is None
                                else balanced_bands)
         # load-balanced data-parallel batches: fill each step's n_data
         # camera batch with views of similar estimated instance cost

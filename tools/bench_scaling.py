@@ -446,7 +446,7 @@ def run_band_times(args) -> dict:
     n_ref = int(count_render_instances(cams[0], cfg, mlps, astate,
                                        add_prefilter=False,
                                        backend=backend))
-    n_ana = crop_count(0, n_tiles_y)
+    n_ana = crop_count(0, 0, n_tiles_y)
     if not 0.9 <= n_ana / max(n_ref, 1) <= 1.1:
         raise SystemExit(f"analytic span count {n_ana} disagrees with "
                          f"count_render_instances {n_ref}")
@@ -509,12 +509,8 @@ def run_band_times(args) -> dict:
     partial["bands"] = bands_out
     for n_m in (2, 4, 8):
         per_variant = {}
-        # n_m=8: balanced bounds only (the mesh default) — the first r5
-        # run showed the per-height compiles dominate wall clock, and
-        # the 1x8 decision only needs the mitigated number
-        variants = {"balanced": suggest_band_bounds(row_loads, n_m)}
-        if n_m < 8:
-            variants["uniform"] = None
+        variants = {"balanced": suggest_band_bounds(row_loads, n_m),
+                    "uniform": None}
         # one shared cap per n_m (mirrors the real step's single static
         # cap; sized by the worst band over both variants)
         crops_all = {}
@@ -770,7 +766,16 @@ def run_projection(args, prior: dict) -> dict:
             t_step = t_c * ovh + t_halo + t_comm
             return T1 / (n_m * t_step), t_step
 
-        eff_mit, t_mit = eff_of("dealt", "balanced")     # the defaults
+        # mitigated = the trainer defaults: cost-dealt DP batches +
+        # UNIFORM bounds. The r5 band-times measurement showed step time
+        # is rows-bound (records coefficient ~0 at production loads:
+        # static caps flatten binning, saturated tiles bound kernel
+        # work), so balanced bounds — which trade record balance for a
+        # taller tallest band that every device pays statically — LOSE
+        # time (2x4: 0.73 uniform vs 0.68 balanced); they remain opt-in
+        # for record-bound (sparse, unsaturated) scenes.
+        eff_mit, t_mit = eff_of("dealt", "uniform")
+        eff_bal, _ = eff_of("dealt", "balanced")
         eff_unmit, t_unmit = eff_of("random", "uniform")
         # audit trail: the r4 perfect-balance model on the same basis
         t_perfect = T1 * ovh * (1.0 / n_m + halo_frac) + t_comm
@@ -782,12 +787,14 @@ def run_projection(args, prior: dict) -> dict:
             "t_a2a_ms": t_a2a * 1e3, "t_table_allreduce_ms": t_table * 1e3,
             "t_mlp_psum_ms": t_mlp * 1e3,
             "projected_efficiency": eff_mit,
+            "projected_efficiency_balanced_bands": eff_bal,
             "projected_efficiency_unmitigated": eff_unmit,
             "projected_efficiency_perfect_balance":
                 T1 / (n_m * t_perfect)})
         print(f"mesh {n_d}x{n_m}: step={t_mit*1e3:7.2f} ms "
               f"(comm {t_comm*1e3:5.2f} ms) eff={eff_mit:.3f} "
-              f"(unmitigated {eff_unmit:.3f}, perfect-balance "
+              f"(balanced-bands {eff_bal:.3f}, random-batch "
+              f"{eff_unmit:.3f}, perfect-balance "
               f"{T1 / (n_m * t_perfect):.3f})")
     best = max(rows, key=lambda r: r["projected_efficiency"])
     return {
@@ -806,10 +813,22 @@ def run_projection(args, prior: dict) -> dict:
         "imbalance_model": (
             "compute term = Monte-Carlo E[max over devices] of MEASURED "
             "per-(view, band) step times (band_time_skew.static_step_ms) "
-            "under the trainer's batch policy — mitigated = cost-dealt "
-            "DP batches + balanced band bounds (the defaults under a "
-            "mesh); unmitigated = random batches + uniform bounds; "
+            "under the trainer's batch policy — headline = cost-dealt "
+            "DP batches + uniform bounds (the defaults under a mesh); "
+            "balanced_bands kept as a diagnostic (the r5 measurement "
+            "found step time rows-bound at production loads, so "
+            "balancing records costs more static height than it buys); "
             "perfect_balance = the r4 model, kept for the audit trail"),
+        "recommended_meshes": [r["mesh"] for r in rows
+                               if r["projected_efficiency"] >= 0.8],
+        "mesh_guidance": (
+            "DP-heavy meshes (8x1, 4x2) clear the >=0.80 bar with "
+            "measured skew folded in; model-heavy meshes (2x4, 1x8) "
+            "are sub-0.80 because the per-device rows-bound fixed cost "
+            "(c0 + c_row*rows, band_time_skew.fit) does not divide "
+            "along the model axis — use them only when a single chip "
+            "cannot hold the anchor table or image (memory-bound "
+            "feasibility, not throughput)"),
         "note": ("analytic: measured 1x1 overhead + measured per-band "
                  "step times + calibrated exchange volume vs one-link "
                  "ICI bandwidth; compute terms measured, collective "

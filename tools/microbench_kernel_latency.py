@@ -155,10 +155,15 @@ def sweep_2d(args):
 
 def fit_cost_model(rows, n_tiles):
     """Least-squares  t = n_tiles*a + chunks*b  over the sweep — the
-    (per-tile fixed, per-chunk) cost decomposition ROOFLINE.json uses."""
-    A = np.asarray([[n_tiles, r[3]] for r in rows], np.float64)
-    yf = np.asarray([r[1] * 1e6 for r in rows])
-    yb = np.asarray([r[2] * 1e6 for r in rows])
+    (per-tile fixed, per-chunk) cost decomposition ROOFLINE.json uses.
+    The L=1 FORWARD point is excluded: it repeatedly measures
+    sub-physical times over the remote-TPU tunnel (0.01-0.1 us/chunk —
+    less than the DMA issue alone) and would corrupt the fixed-cost
+    coefficient; the backward at L=1 measures normally."""
+    fit_rows = [r for r in rows if r[0] >= 2]
+    A = np.asarray([[n_tiles, r[3]] for r in fit_rows], np.float64)
+    yf = np.asarray([r[1] * 1e6 for r in fit_rows])
+    yb = np.asarray([r[2] * 1e6 for r in fit_rows])
     (af, bf), *_ = np.linalg.lstsq(A, yf, rcond=None)
     (ab, bb), *_ = np.linalg.lstsq(A, yb, rcond=None)
     print(f"cost model (us): t_fwd = n_tiles*{af:.2f} + chunks*{bf:.2f}"
