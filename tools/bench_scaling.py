@@ -87,8 +87,11 @@ def _scene(width: int, height: int, n_points: int, capacity: int,
 
 
 def _calibrate(cfg, ts, cams, width, height, n_model, backend,
-               margin: float = 1.5):
-    """Measured instance + band caps, the same way the trainer does."""
+               margin: float = 1.25):
+    """Measured instance + band caps, the same way the trainer does
+    (same 1.25 initial margin — the r4 tools' 1.5 made ROOFLINE.json
+    report 1.76x capacity slack the product never runs at; overflow
+    widens the margin exactly like the trainer's recalibration)."""
     from horizongs_tpu.ops.raster_pallas import suggest_instance_cap
     from horizongs_tpu.parallel.step import count_band_records
     from horizongs_tpu.parallel.tile_exchange import suggest_band_cap
