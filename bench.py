@@ -202,7 +202,7 @@ def full_train_step(on_tpu: bool) -> dict:
         cam, cfg, mlps_from_params(ts.params), ts.anchor_state(),
         add_prefilter=True,
         backend="pallas" if rasterizer == "pallas" else "scan"))
-    cap = suggest_instance_cap(n_inst, margin=1.25)
+    cap = suggest_instance_cap(n_inst, margin=1.15)
     step = build_train_step(cfg, opt, H, W, add_prefilter=True,
                             rasterizer=rasterizer, instance_cap=cap)
     ct = camera_tensors(cam, do_stats=True)

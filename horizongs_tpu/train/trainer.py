@@ -117,8 +117,14 @@ class Trainer:
                          f"(divisible by model={n_model})")
             scene.train_state = shard_state(scene.train_state, mesh)
         # per-resolution capacity margins: one overflowing view at one
-        # resolution must not recompile the step functions of the others
-        self._cap_margin = defaultdict(lambda: 1.25)
+        # resolution must not recompile the step functions of the others.
+        # Initial 1.15 (r5; was 1.25): capacity slack is priced at a
+        # measured 3.55 ms/100k slots per step (ROOFLINE.json
+        # capacity_cost) while an overflow costs one counted
+        # recalibration recompile — at production step counts the
+        # tighter margin wins by minutes, and the x1.5 widening schedule
+        # still absorbs genuinely heavy unsampled views
+        self._cap_margin = defaultdict(lambda: 1.15)
         # band-exchange capacity margin (sharded step only) — tracked
         # separately from the instance margin so an undersized band_cap
         # recalibrates the exchange, not the instance list

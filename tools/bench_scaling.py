@@ -87,9 +87,9 @@ def _scene(width: int, height: int, n_points: int, capacity: int,
 
 
 def _calibrate(cfg, ts, cams, width, height, n_model, backend,
-               margin: float = 1.25):
+               margin: float = 1.15):
     """Measured instance + band caps, the same way the trainer does
-    (same 1.25 initial margin — the r4 tools' 1.5 made ROOFLINE.json
+    (same 1.15 initial margin — the r4 tools' 1.5 made ROOFLINE.json
     report 1.76x capacity slack the product never runs at; overflow
     widens the margin exactly like the trainer's recalibration)."""
     from horizongs_tpu.ops.raster_pallas import suggest_instance_cap

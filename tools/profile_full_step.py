@@ -85,7 +85,7 @@ def main():
     opt = make_optim(start_stat=0)
     n_inst = int(count_render_instances(cam, cfg, mlps, astate,
                                         add_prefilter=True))
-    cap = suggest_instance_cap(n_inst, margin=1.25)
+    cap = suggest_instance_cap(n_inst, margin=1.15)
     print(f"instances={n_inst} cap={cap}", flush=True)
 
     probe = jnp.ones((1024,))
