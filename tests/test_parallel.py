@@ -679,3 +679,48 @@ def test_count_tile_row_loads():
     # splat2 spans rows 1-2; splat3 invalid
     loads = np.asarray(count_tile_row_loads(my, ry, valid, 4, 16))
     np.testing.assert_array_equal(loads, [1, 2, 1, 0])
+
+
+def test_band_times_analytic_crop_counts():
+    """The band-times tool's analytic per-crop instance counts
+    (`tools.bench_scaling.flagship_view_spans` + `crop_counts`) must
+    agree with the production counter at full height and partition
+    sensibly across bands (the r5 first measurement run oversized every
+    band cap 3-5x by counting splats the projection culls — this is the
+    CPU guard for that methodology)."""
+    import sys
+    sys.path.insert(0, ".")
+    from tools.bench_scaling import crop_counts, flagship_view_spans
+    from horizongs_tpu.models import (
+        ModelConfig, init_mlps, init_anchor_state_from_points)
+    from horizongs_tpu.render import count_render_instances
+    from horizongs_tpu.train.optim import mlps_from_params
+
+    W2, H2, tile = 128, 128, 16
+    cfg = ModelConfig(name="GaussianModel", feat_dim=16, n_offsets=4,
+                      view_dim=3, color_attr="RGB", render_mode="RGB",
+                      voxel_size=0.1)
+    cams, g = _targets(3)
+    ts = _state(cfg, np.asarray(g["means"]))
+    cams = [c._replace(width=W2, height=H2,
+                       K=c.K.at[0, 2].set(W2 / 2).at[1, 2].set(H2 / 2))
+            for c in cams]
+    mlps = mlps_from_params(ts.params)
+    astate = ts.anchor_state()
+    spans = flagship_view_spans(cfg, mlps, astate, cams, W2, H2,
+                                tile, tile)
+    rows = H2 // tile
+    for v, c in enumerate(cams):
+        ana = crop_counts(spans[v], 0, rows)
+        ref = int(count_render_instances(c, cfg, mlps, astate,
+                                         add_prefilter=False,
+                                         backend="scan"))
+        assert ref > 0
+        assert abs(ana - ref) <= max(0.05 * ref, 4), (ana, ref)
+        # band partition: within-crop rows sum back to the full count
+        # for splats fully inside; boundary-spanning splats double-count
+        # across bands (they ARE routed to both) so the sum >= full
+        halves = (crop_counts(spans[v], 0, rows // 2)
+                  + crop_counts(spans[v], rows // 2, rows))
+        assert halves >= ana
+        assert halves <= 2 * ana
